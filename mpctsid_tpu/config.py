@@ -1,0 +1,109 @@
+"""Config tree for the whole engine (SURVEY.md §5.6).
+
+Plain frozen dataclasses; every BASELINE.json config (lines 7-11) is a named preset in
+``PRESETS``.  All timing, weighting, solver and batching knobs live here so the oracle
+and the TPU path consume identical numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """Centroidal MPC problem definition (BASELINE.json:5,7).
+
+    State x = [p(3), rpy(3), v(3), omega_world(3)] in R^12; input u = stacked
+    ground-reaction forces f in R^12 (4 feet x 3).  Horizon 16 at dt = 20 ms."""
+
+    horizon: int = 16
+    dt: float = 0.02
+    # state-tracking weights, diag(Q):  p, rpy, v, omega
+    w_pos: Tuple[float, float, float] = (2.0, 2.0, 40.0)
+    w_rpy: Tuple[float, float, float] = (15.0, 15.0, 2.0)
+    w_vel: Tuple[float, float, float] = (4.0, 4.0, 8.0)
+    w_omega: Tuple[float, float, float] = (0.3, 0.3, 0.6)
+    w_force: float = 1e-4          # diag(R) force regularization
+    mu: float = 0.7                # friction coefficient
+    fz_min: float = 0.2
+    fz_max: float = 25.0
+
+    @property
+    def q_diag(self) -> np.ndarray:
+        return np.array(self.w_pos + self.w_rpy + self.w_vel + self.w_omega)
+
+
+@dataclasses.dataclass(frozen=True)
+class WbcConfig:
+    """TSID-style whole-body inverse-dynamics QP weights (SURVEY.md §2.1 "TSID WBC")."""
+
+    w_foot: float = 1000.0         # swing-foot acceleration task
+    w_force: float = 10.0          # contact-force tracking of the MPC plan
+    w_posture: float = 1.0         # joint posture task
+    w_base: float = 10.0           # base orientation/height task
+    kp_foot: float = 400.0
+    kd_foot: float = 40.0
+    kp_posture: float = 36.0
+    kd_posture: float = 12.0
+    kp_base: float = 100.0
+    kd_base: float = 20.0
+    mu: float = 0.7
+    tau_max: float = 2.7
+    fz_min: float = 0.0
+    fz_max: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """ADMM solver knobs (OSQP-faithful splitting; SURVEY.md §2.1 native table)."""
+
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6             # over-relaxation
+    iters: int = 60                # fixed iteration count on device (SURVEY.md §7.3)
+    eps_abs: float = 1e-8          # oracle convergence tolerance (CPU only)
+    eps_rel: float = 1e-8
+    max_iters_oracle: int = 4000
+    polish: bool = True            # oracle: active-set KKT polish after ADMM
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    """Cadence of the cascade: 1 kHz WBC / 50 Hz MPC (BASELINE.json:10)."""
+
+    wbc_dt: float = 0.001
+    mpc_every: int = 20            # WBC ticks per MPC solve
+    swing_height: float = 0.05     # swing apex (SURVEY.md §2.1 swing generator)
+    k_raibert: float = 0.03        # feedback gain on (v - v_ref)
+    t_stance_factor: float = 0.5   # T_stance/2 velocity feed-forward
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    mpc: MpcConfig = MpcConfig()
+    wbc: WbcConfig = WbcConfig()
+    solver: SolverConfig = SolverConfig()
+    cascade: CascadeConfig = CascadeConfig()
+    gait: str = "trot"
+    batch: int = 1
+    v_ref: Tuple[float, float, float] = (0.3, 0.0, 0.0)  # vx, vy, wz command
+
+
+# --- named presets, one per BASELINE.json config line --------------------------------
+
+PRESETS = {
+    # BASELINE.json:7 — single-rollout flat-ground trot vs CPU reference
+    "config1_trot_single": EngineConfig(batch=1, gait="trot"),
+    # BASELINE.json:8 — gait sweep, 256 batched MPC QPs
+    "config2_gait_sweep": EngineConfig(batch=256, gait="trot"),
+    # BASELINE.json:9 — mu/load perturbation batches with warm starts
+    "config3_robustness": EngineConfig(batch=256, gait="trot"),
+    # BASELINE.json:10 — full cascade, 4k scenario rollouts, one host
+    "config4_cascade_4k": EngineConfig(batch=4096, gait="trot"),
+    # BASELINE.json:11 — multi-host Monte-Carlo, 32k+ scenarios
+    "config5_multihost_32k": EngineConfig(batch=32768, gait="trot"),
+}
