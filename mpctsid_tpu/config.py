@@ -28,7 +28,9 @@ class MpcConfig:
     w_vel: Tuple[float, float, float] = (4.0, 4.0, 8.0)
     w_omega: Tuple[float, float, float] = (0.3, 0.3, 0.6)
     w_force: float = 1e-4          # diag(R) force regularization
-    mu: float = 0.7                # friction coefficient
+    # controller-side friction margin: plant/real mu is ~0.7, planning with 0.5
+    # keeps commanded forces strictly inside the true cone (no chronic slip)
+    mu: float = 0.5
     fz_min: float = 0.2
     fz_max: float = 25.0
 
@@ -42,16 +44,19 @@ class WbcConfig:
     """TSID-style whole-body inverse-dynamics QP weights (SURVEY.md §2.1 "TSID WBC")."""
 
     w_foot: float = 1000.0         # swing-foot acceleration task
-    w_force: float = 10.0          # contact-force tracking of the MPC plan
-    w_posture: float = 1.0         # joint posture task
+    # force tracking must dominate posture: stance-leg joint accelerations are
+    # fully determined by the contact constraint + base motion, so any posture
+    # weight there directly fights the MPC force plan (see oracle/wbc.py).
+    w_force: float = 50.0          # contact-force tracking of the MPC plan
+    w_posture: float = 0.05        # joint posture regularizer
     w_base: float = 10.0           # base orientation/height task
     kp_foot: float = 400.0
     kd_foot: float = 40.0
     kp_posture: float = 36.0
-    kd_posture: float = 12.0
+    kd_posture: float = 6.0
     kp_base: float = 100.0
     kd_base: float = 20.0
-    mu: float = 0.7
+    mu: float = 0.5
     tau_max: float = 2.7
     fz_min: float = 0.0
     fz_max: float = 30.0

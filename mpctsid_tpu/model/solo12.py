@@ -135,11 +135,13 @@ class Solo12Model:
 
     @property
     def q_stand(self) -> np.ndarray:
-        """(12,) nominal standing joint angles (x2 knee-inward pattern)."""
+        """(12,) nominal standing joint angles (x2 knee-inward pattern).
+
+        With both segments 0.16 m, the standing height is 0.32*cos(0.7) = h_ref."""
         q = np.zeros(12)
         for i in range(4):
-            q[3 * i + 1] = 0.8   # HFE
-            q[3 * i + 2] = -1.6  # KFE
+            q[3 * i + 1] = 0.7   # HFE
+            q[3 * i + 2] = -1.4  # KFE
         return q
 
     # center-of-mass offsets of each body in its own joint frame

@@ -38,10 +38,11 @@ class GaitScheduler:
     def stance_duration_s(self, leg: int, mpc_dt: float) -> float:
         return self.gait.stance_duration(leg) * mpc_dt
 
-    def swing_progress(self, leg: int) -> tuple[float, float]:
+    def swing_progress(self, leg: int, frac: float = 0.5) -> tuple[float, float]:
         """(s, T_swing): normalized progress in the current swing phase and its
         duration in MPC steps.  s = 0 at lift-off, 1 at touchdown; (0, 0) if the
-        leg is in stance."""
+        leg is in stance.  frac in [0,1) is sub-step progress within the current
+        MPC step (the 1 kHz WBC evaluates swing refs between gait rolls)."""
         col = self.gait.table[:, leg]
         if col[self.phase % GAIT_PERIOD] > 0.5:
             return 0.0, 0.0
@@ -53,7 +54,7 @@ class GaitScheduler:
         while col[(self.phase + fwd + 1) % GAIT_PERIOD] < 0.5 and fwd < GAIT_PERIOD:
             fwd += 1
         dur = back + fwd + 1
-        return (back + 0.5) / dur, float(dur)
+        return (back + frac) / dur, float(dur)
 
 
 def raibert_touchdown(
