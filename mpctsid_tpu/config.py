@@ -27,7 +27,11 @@ class MpcConfig:
     w_rpy: Tuple[float, float, float] = (15.0, 15.0, 2.0)
     w_vel: Tuple[float, float, float] = (4.0, 4.0, 8.0)
     w_omega: Tuple[float, float, float] = (0.3, 0.3, 0.6)
-    w_force: float = 1e-4          # diag(R) force regularization
+    # diag(R) force regularization.  1e-2 (not the family-typical 1e-4..1e-5)
+    # is a deliberate conditioning choice: it bounds the QP's flat directions
+    # so the f32 fixed-iteration device solver reaches <1e-4 force parity in
+    # ~100 iterations (see qp/admm.py); behavior impact is negligible.
+    w_force: float = 1e-2
     # controller-side friction margin: plant/real mu is ~0.7, planning with 0.5
     # keeps commanded forces strictly inside the true cone (no chronic slip)
     mu: float = 0.5

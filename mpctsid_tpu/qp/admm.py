@@ -78,7 +78,8 @@ def ruiz_equilibrate(P, q, A, l, u, iters: int = 8):
     return Pb, qb, Ab, lb, ub, D, E, c
 
 
-@partial(jax.jit, static_argnames=("iters", "mode", "equilibrate_iters"))
+@partial(jax.jit, static_argnames=("iters", "mode", "equilibrate_iters",
+                                   "polish_kkt", "adapt_rounds"))
 def admm_solve(P, q, A, l, u,
                x0=None, y0=None,
                iters: int = 60,
@@ -87,7 +88,9 @@ def admm_solve(P, q, A, l, u,
                alpha: float = 1.6,
                rho_eq_scale: float = 1e3,
                mode: str = "inv",
-               equilibrate_iters: int = 8) -> QPSolution:
+               equilibrate_iters: int = 8,
+               polish_kkt: bool = False,
+               adapt_rounds: int = 1) -> QPSolution:
     """Fixed-iteration OSQP-style ADMM.  vmap-able; see module docstring."""
     n = P.shape[0]
     m = A.shape[0]
@@ -97,39 +100,68 @@ def admm_solve(P, q, A, l, u,
     P, q, A, l, u, D, E, c = ruiz_equilibrate(P, q, A, l, u, equilibrate_iters)
 
     eq = (u0 - l0) < 1e-9
-    rho_vec = jnp.where(eq, rho_eq_scale * rho, rho).astype(dtype)
-    rho_inv = 1.0 / rho_vec
-
-    K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_vec) @ A
-    if mode == "inv":
-        K_inv = jnp.linalg.inv(K)
-
-        def k_solve(rhs):
-            return K_inv @ rhs
-    else:
-        L = jnp.linalg.cholesky(K)
-
-        def k_solve(rhs):
-            t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-            return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+    eqf = eq.astype(dtype)
 
     x = jnp.zeros(n, dtype) if x0 is None else (x0 / D).astype(dtype)
     y = jnp.zeros(m, dtype) if y0 is None else (y0 * c / E).astype(dtype)
     z = jnp.clip(A @ x, l, u)
 
-    def body(_, carry):
-        x, z, y = carry
-        rhs = sigma * x - q + A.T @ (rho_vec * z - y)
-        x_t = k_solve(rhs)
-        z_t = A @ x_t
-        x_n = alpha * x_t + (1.0 - alpha) * x
-        z_r = alpha * z_t + (1.0 - alpha) * z
-        z_n = jnp.clip(z_r + rho_inv * y, l, u)
-        y_n = y + rho_vec * (z_r - z_n)
-        return x_n, z_n, y_n
+    def run_block(rho_s, x, z, y, n_iters):
+        """n_iters ADMM iterations at scalar rho (with the eq-row boost)."""
+        rho_vec = (1.0 + eqf * (rho_eq_scale - 1.0)) * rho_s
+        rho_inv = 1.0 / rho_vec
+        K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_vec) @ A
+        if mode == "inv":
+            K_inv = jnp.linalg.inv(K)
 
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+            def k_solve(rhs):
+                return K_inv @ rhs
+        else:
+            L = jnp.linalg.cholesky(K)
 
+            def k_solve(rhs):
+                t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+                return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+
+        def body(_, carry):
+            x, z, y = carry
+            rhs = sigma * x - q + A.T @ (rho_vec * z - y)
+            x_t = k_solve(rhs)
+            z_t = A @ x_t
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_r = alpha * z_t + (1.0 - alpha) * z
+            z_n = jnp.clip(z_r + rho_inv * y, l, u)
+            y_n = y + rho_vec * (z_r - z_n)
+            return x_n, z_n, y_n
+
+        return jax.lax.fori_loop(0, n_iters, body, (x, z, y))
+
+    # OSQP-style adaptive rho: fixed number of rounds, each refactoring with a
+    # per-problem rho from the scaled residual ratio.  Rounds are trace-time
+    # static, so the whole schedule vmaps (every scenario adapts independently).
+    rho_s = jnp.asarray(rho, dtype)
+    n_rounds = max(1, adapt_rounds)
+    iters_per = max(1, iters // n_rounds)
+    for r_i in range(n_rounds):
+        x, z, y = run_block(rho_s, x, z, y, iters_per)
+        if r_i + 1 < n_rounds:
+            Ax = A @ x
+            Px = P @ x
+            Aty = A.T @ y
+            rp = jnp.max(jnp.abs(Ax - z)) / jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))), 1e-12)
+            rd = jnp.max(jnp.abs(Px + q + Aty)) / jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Px)),
+                            jnp.maximum(jnp.max(jnp.abs(q)),
+                                        jnp.max(jnp.abs(Aty)))), 1e-12)
+            rho_s = jnp.clip(rho_s * jnp.sqrt(rp / jnp.maximum(rd, 1e-12)),
+                             1e-6, 1e6)
+
+    if polish_kkt:
+        # polish in the SCALED frame (well-conditioned KKT for the f32 solve);
+        # two rounds: the second re-detects the active set at the polished point
+        x, y = _polish(P, q, A, l, u, x, y, eq)
+        x, y = _polish(P, q, A, l, u, x, y, eq, active_tol=1e-5)
     # unscale and report unscaled residuals
     x = D * x
     y = E * y / c
@@ -137,3 +169,70 @@ def admm_solve(P, q, A, l, u,
     prim = jnp.max(jnp.abs(A0 @ x - z_u)) if m else jnp.zeros((), dtype)
     dual = jnp.max(jnp.abs(P0 @ x + q0 + A0.T @ y))
     return QPSolution(x=x, y=y, z=z_u, prim_res=prim, dual_res=dual)
+
+
+def _polish(P, q, A, l, u, x, y, eq,
+            active_tol: float = 1e-3, delta: float = 1e-4):
+    """Device-side OSQP polish: one masked-KKT solve on the detected active set.
+
+    Fixed-shape trick: instead of slicing active rows (dynamic shapes), solve
+        [[P,            A' diag(mask)], [x ]   [      -q       ]
+         [diag(mask) A, -D_nu        ]] [nu] = [ mask * b_active]
+    where D_nu = delta*I on active rows and I on inactive rows, which pins
+    nu_i = 0 exactly for inactive constraints.  Falls back to the ADMM iterate
+    per-problem when the polished point is infeasible or the KKT residual got
+    worse (mirrors oracle/qp.py _polish acceptance test).  One batched dense
+    solve -> MXU work; replaces hundreds of ADMM iterations of tail accuracy."""
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    Ax = A @ x
+    l_fin = l > -INF
+    u_fin = u < INF
+    # a side can only be active if its bound is finite (degenerate swing rows
+    # carry nonzero duals of either sign at mu*fz = 0)
+    low = l_fin & ((y < -active_tol) | (jnp.abs(Ax - l) < active_tol))
+    upp = u_fin & ((y > active_tol) | (jnp.abs(Ax - u) < active_tol))
+    low = (low | eq) & ~(upp & ~eq)
+    act = low | upp
+    mask = act.astype(dtype)
+    b = jnp.where(low, l, u)
+
+    AtM = A.T * mask
+    Dnu = jnp.where(act, delta, 1.0).astype(dtype)
+    KKT_reg = jnp.concatenate([
+        jnp.concatenate([P + delta * jnp.eye(n, dtype=dtype), AtM], axis=1),
+        jnp.concatenate([AtM.T, -jnp.diag(Dnu)], axis=1),
+    ], axis=0)
+    rhs = jnp.concatenate([-q, mask * b])
+    lu, piv = jax.scipy.linalg.lu_factor(KKT_reg)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    # two steps of iterative refinement against the UNregularized system
+    KKT0 = jnp.concatenate([
+        jnp.concatenate([P, AtM], axis=1),
+        jnp.concatenate([AtM.T, -jnp.diag(jnp.where(act, 0.0, 1.0)
+                                          .astype(dtype))], axis=1),
+    ], axis=0)
+    for _ in range(3):
+        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), rhs - KKT0 @ sol)
+    xp = sol[:n]
+    yp = sol[n:] * mask
+
+    # acceptance by exact penalty merit: the QP is strictly convex, so a
+    # feasible point with lower objective is strictly better; violations are
+    # charged at a rate far above any multiplier scale.
+    def merit(x_):
+        Ax_ = A @ x_
+        viol = (jnp.sum(jnp.maximum(Ax_ - u, 0.0))
+                + jnp.sum(jnp.maximum(l - Ax_, 0.0)))
+        return 0.5 * x_ @ (P @ x_) + q @ x_ + 1e4 * viol
+
+    # merit-only acceptance: a wrong active set either leaves the point
+    # infeasible (penalized at 1e4) or lands on a suboptimal face (higher
+    # objective) — both rejected.  Dual-sign checks misfire on the degenerate
+    # swing-foot rows (both pyramid sides tight at mu*fz = 0), so they are not
+    # used.
+    ok = merit(xp) <= merit(x) + 1e-7
+    x_out = jnp.where(ok, xp, x)
+    y_out = jnp.where(ok, yp, y)
+    return x_out, y_out

@@ -34,7 +34,7 @@ def test_static_stand_forces_equal_weight():
                                      np.zeros(3), feet0())
     F, res = solve_mpc(M, CFG.mpc, CFG.solver, x0, xref, feet, g.horizon(16))
     assert res.converged
-    np.testing.assert_allclose(F[0, :, 2].sum(), M.total_mass * M.g, rtol=1e-3)
+    np.testing.assert_allclose(F[0, :, 2].sum(), M.total_mass * M.g, rtol=1e-2)
     np.testing.assert_allclose(F[0, :, 2], F[0, 0, 2], rtol=1e-6)  # symmetric
     assert np.abs(F[0, :, 0:2]).max() < 1e-6
 
