@@ -1,0 +1,215 @@
+"""The full MPC+TSID cascade as one fused device program.
+
+Reference structure being reproduced (SURVEY.md §3.1-3.4): a 1 kHz WBC loop
+with a 50 Hz MPC running in a second process, the WBC consuming the last
+COMPLETED plan.  TPU-native restructuring (SURVEY.md §3 note): the cascade is a
+`lax.scan` over MPC periods with an inner `lax.scan` over the `mpc_every` WBC
+ticks — the cadence split is structural, not modulo-tested — and the
+one-solve-stale handoff is a carried array: the plan solved in period p is
+consumed in period p+1 (its column 1 covers p+1's prediction window); period 0
+uses a gravity-compensation fallback, matching oracle/cascade.py exactly.
+
+Everything here is single-scenario and vmaps across thousands of scenarios
+(BASELINE.json:10 "4k batched scenario rollouts"), including per-scenario gait
+id, velocity command, and plant friction (BASELINE.json:8-9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mpctsid_tpu import dyn
+from mpctsid_tpu.config import EngineConfig
+from mpctsid_tpu.env.plant import ContactParams, PlantState, plant_step
+from mpctsid_tpu.model.solo12 import Solo12Model
+from mpctsid_tpu.model.tree import build_tree
+from mpctsid_tpu.mpc.srb import build_mpc_qp, reference_rollout
+from mpctsid_tpu.plan.footsteps import plan_footsteps_horizon
+from mpctsid_tpu.plan.gait import contacts_at, swing_tables
+from mpctsid_tpu.plan.swing import swing_foot_ref
+from mpctsid_tpu.qp.admm import admm_solve
+from mpctsid_tpu.wbc.tsid import WbcRefs, solve_wbc
+
+N_MPC_VARS = 192
+N_MPC_ROWS = 320
+N_WBC_VARS = 30
+N_WBC_ROWS = 50
+
+
+@dataclasses.dataclass
+class ControllerState:
+    phase: jnp.ndarray         # int32 scalar — gait phase (MPC periods)
+    liftoff: jnp.ndarray       # (4,3)
+    touchdown: jnp.ndarray     # (4,3)
+    prev_contacts: jnp.ndarray # (4,)
+    f_plan: jnp.ndarray        # (N,4,3) stale plan consumed this period
+    mpc_warm_x: jnp.ndarray    # (192,)
+    mpc_warm_y: jnp.ndarray    # (320,)
+    wbc_warm_x: jnp.ndarray    # (30,)
+    wbc_warm_y: jnp.ndarray    # (50,)
+
+
+jax.tree_util.register_dataclass(
+    ControllerState,
+    data_fields=["phase", "liftoff", "touchdown", "prev_contacts", "f_plan",
+                 "mpc_warm_x", "mpc_warm_y", "wbc_warm_x", "wbc_warm_y"],
+    meta_fields=[])
+
+
+def srb_state(q, v):
+    """Project full (q, v) onto the 12-dim SRB state [p, rpy, v_w, w_w]."""
+    R0 = dyn.quat_to_rot(q[3:7])
+    rpy = jnp.stack([
+        jnp.arctan2(R0[2, 1], R0[2, 2]),
+        -jnp.arcsin(jnp.clip(R0[2, 0], -1.0, 1.0)),
+        jnp.arctan2(R0[1, 0], R0[0, 0]),
+    ])
+    return jnp.concatenate([q[0:3], rpy, R0 @ v[0:3], R0 @ v[3:6]])
+
+
+def init_controller(model: Solo12Model, cfg: EngineConfig, tree, q0,
+                    gait_id) -> ControllerState:
+    dtype = q0.dtype
+    feet = dyn.foot_positions(tree, q0) * jnp.asarray([1, 1, 0], dtype)
+    contacts0 = contacts_at(gait_id, jnp.int32(0)).astype(dtype)
+    n_st = jnp.maximum(contacts0.sum(), 1.0)
+    fb = jnp.zeros((cfg.mpc.horizon, 4, 3), dtype)
+    fb = fb.at[:, :, 2].set(model.total_mass * model.g / n_st
+                            * contacts0[None, :])
+    return ControllerState(
+        phase=jnp.int32(0),
+        liftoff=feet, touchdown=feet, prev_contacts=contacts0,
+        f_plan=fb,
+        mpc_warm_x=jnp.zeros(N_MPC_VARS, dtype),
+        mpc_warm_y=jnp.zeros(N_MPC_ROWS, dtype),
+        wbc_warm_x=jnp.zeros(N_WBC_VARS, dtype),
+        wbc_warm_y=jnp.zeros(N_WBC_ROWS, dtype),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfigured:
+    """Static bundle: model + config + tree, hashable for jit closure."""
+
+    model: Solo12Model
+    cfg: EngineConfig
+
+    def __post_init__(self):
+        object.__setattr__(self, "_tree", build_tree(self.model))
+
+    @property
+    def tree(self):
+        return self._tree
+
+
+def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
+                   plant: PlantState, gait_id, v_cmd,
+                   contact_params: ContactParams,
+                   mpc_iters: int = 100, mpc_rounds: int = 4,
+                   wbc_iters: int = 60, wbc_rounds: int = 3):
+    """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks."""
+    model, cfg, tree = cc.model, cc.cfg, cc.tree
+    dtype = plant.q.dtype
+    phase = ctl.phase
+    contacts = contacts_at(gait_id, phase).astype(dtype)
+
+    feet_now = dyn.foot_positions(tree, plant.q)
+    x_srb = srb_state(plant.q, plant.v)
+
+    # lift-off bookkeeping at stance->swing transitions
+    to_swing = (contacts < 0.5) & (ctl.prev_contacts > 0.5)
+    liftoff = jnp.where(to_swing[:, None], feet_now, ctl.liftoff)
+
+    # footstep plan + touchdown targets for swinging feet
+    fsteps, next_td = plan_footsteps_horizon(
+        model, cfg.mpc, cfg.cascade, gait_id, phase, x_srb, v_cmd, feet_now)
+    touchdown = jnp.where((contacts < 0.5)[:, None], next_td, ctl.touchdown)
+
+    # MPC solve from the current state (one-solve-stale: consumed NEXT period)
+    x_ref = reference_rollout(model, cfg.mpc, x_srb, v_cmd)
+    cont_h = jnp.stack([contacts_at(gait_id, phase + k).astype(dtype)
+                        for k in range(cfg.mpc.horizon)])
+    P, q_lin, A, l, u = build_mpc_qp(model, cfg.mpc, x_srb, x_ref, fsteps,
+                                     cont_h)
+    mpc_sol = admm_solve(P, q_lin, A, l, u,
+                         x0=ctl.mpc_warm_x, y0=ctl.mpc_warm_y,
+                         iters=mpc_iters, adapt_rounds=mpc_rounds, rho=0.1)
+    new_plan = mpc_sol.x.reshape(cfg.mpc.horizon, 4, 3)
+
+    # WBC consumes the stale plan's column covering the current period
+    f_used = ctl.f_plan[1] * contacts[:, None]
+
+    back, fwd, dur, stance_steps = swing_tables(gait_id, phase)
+    T_swing = dur.astype(dtype) * cfg.mpc.dt
+    mpc_every = cfg.cascade.mpc_every
+    wbc_dt = cfg.cascade.wbc_dt
+
+    def tick(carry, t):
+        plant, wx, wy = carry
+        frac = t.astype(dtype) / mpc_every
+        s = jnp.where(dur > 0, (back.astype(dtype) + frac)
+                      / jnp.maximum(dur.astype(dtype), 1.0), 0.0)
+        pos, vel, acc = swing_foot_ref(liftoff, touchdown, s, T_swing,
+                                       cfg.cascade.swing_height)
+        refs = WbcRefs(
+            contacts=contacts, f_mpc=f_used,
+            foot_pos_ref=pos, foot_vel_ref=vel, foot_acc_ref=acc,
+            q_posture=jnp.asarray(model.q_stand, dtype),
+            base_rpy_ref=jnp.zeros(2, dtype),
+            h_ref=jnp.asarray(model.h_ref, dtype))
+        tau_ff, qdd, f_wbc, wbc_sol = solve_wbc(
+            tree, cfg.wbc, plant.q, plant.v, refs,
+            iters=wbc_iters, adapt_rounds=wbc_rounds,
+            warm_x=wx, warm_y=wy)
+        tau_ff = jnp.clip(tau_ff, -cfg.wbc.tau_max, cfg.wbc.tau_max)
+        # joint-impedance actuator (oracle/cascade.py ActuatorCommand)
+        qd_des = plant.v[6:] + qdd[6:] * wbc_dt
+        q_des = plant.q[7:] + plant.v[6:] * wbc_dt + 0.5 * qdd[6:] * wbc_dt**2
+        tau = jnp.clip(tau_ff + 6.0 * (q_des - plant.q[7:])
+                       + 0.3 * (qd_des - plant.v[6:]),
+                       -cfg.wbc.tau_max, cfg.wbc.tau_max)
+        plant, f_ground = plant_step(tree, plant, tau, dt=wbc_dt,
+                                     params=contact_params)
+        return (plant, wbc_sol.x, wbc_sol.y), (tau, f_ground)
+
+    (plant, wbc_wx, wbc_wy), (taus, f_grounds) = jax.lax.scan(
+        tick, (plant, ctl.wbc_warm_x, ctl.wbc_warm_y),
+        jnp.arange(mpc_every))
+
+    new_ctl = ControllerState(
+        phase=phase + 1,
+        liftoff=liftoff, touchdown=touchdown, prev_contacts=contacts,
+        f_plan=new_plan,
+        mpc_warm_x=mpc_sol.x, mpc_warm_y=mpc_sol.y,
+        wbc_warm_x=wbc_wx, wbc_warm_y=wbc_wy)
+    metrics = {
+        "x_srb": x_srb,
+        "tau_rms": jnp.sqrt(jnp.mean(taus ** 2)),
+        "fz_sum": f_grounds[..., 2].sum(axis=-1).mean(),
+        "mpc_prim_res": mpc_sol.prim_res,
+    }
+    return new_ctl, plant, metrics
+
+
+def cascade_rollout(cc: CascadeConfigured, ctl: ControllerState,
+                    plant: PlantState, gait_id, v_cmd,
+                    contact_params: ContactParams, n_periods: int,
+                    **solver_kw):
+    """Roll n_periods MPC periods (n_periods * mpc_every WBC ticks).
+
+    Returns (ctl, plant, metrics stacked over periods).  Single-scenario;
+    vmap + shard_map over scenario batches (dist/)."""
+
+    def body(carry, _):
+        ctl, plant = carry
+        ctl, plant, metrics = cascade_period(cc, ctl, plant, gait_id, v_cmd,
+                                             contact_params, **solver_kw)
+        return (ctl, plant), metrics
+
+    (ctl, plant), metrics = jax.lax.scan(body, (ctl, plant), None,
+                                         length=n_periods)
+    return ctl, plant, metrics

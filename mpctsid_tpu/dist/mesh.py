@@ -1,0 +1,86 @@
+"""Multi-chip scenario sharding: Mesh + shard_map over the scenario axis.
+
+The reference has NO distributed backend (single-host CPU; SURVEY.md §2.2);
+the TPU build's parallel dimension is the SCENARIO batch (BASELINE.json:5
+"shards scenario batches across chips with psum/all-gather reductions ... over
+ICI", :11 "32k+ scenarios sharded across N>=2 hosts").  The cascade itself is
+embarrassingly parallel across scenarios; cross-chip communication is used for
+the global reductions the contract names: batch-wide QP residual norms (global
+convergence monitoring) and Monte-Carlo metric aggregation, via `psum` on the
+scenario axis inside `shard_map`.
+
+Multi-host: call jax.distributed.initialize() before building the mesh; the
+same code path then spans hosts (DCN) and chips (ICI).  Tested on a virtual
+8-device CPU mesh (tests/test_dist.py; SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpctsid_tpu.cascade.engine import CascadeConfigured, cascade_rollout
+
+AXIS = "scenario"
+
+
+def scenario_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def shard_scenarios(mesh: Mesh, tree):
+    """Device_put a pytree of (B, ...) arrays sharded on the scenario axis."""
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_cascade_rollout(cc: CascadeConfigured, mesh: Mesh, n_periods: int,
+                            **solver_kw):
+    """Returns a jitted function running the batched cascade sharded over the
+    mesh, with psum-reduced global summaries.
+
+    fn(ctl_b, plant_b, gait_id_b, v_cmd_b, contact_params_b) ->
+        (ctl_b, plant_b, metrics_b, global_summary)
+
+    where global_summary holds scenario-axis psum reductions: mean MPC primal
+    residual, mean |tau|, and the global count of scenarios whose final base
+    height stayed above 0.1 m (fall detection; SURVEY.md §5.3)."""
+
+    vmapped = jax.vmap(
+        functools.partial(cascade_rollout, cc, n_periods=n_periods,
+                          **solver_kw))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        check_rep=False)
+    def run(ctl, plant, gait_id, v_cmd, cparams):
+        ctl, plant, metrics = vmapped(ctl, plant, gait_id, v_cmd, cparams)
+        # global reductions over ICI/DCN (BASELINE.json:5)
+        n_local = metrics["mpc_prim_res"].shape[0] * 1.0
+        n_total = jax.lax.psum(jnp.asarray(n_local), AXIS)
+        summary = {
+            "mean_mpc_prim_res": jax.lax.psum(
+                metrics["mpc_prim_res"].sum(), AXIS) / (
+                    n_total * metrics["mpc_prim_res"].shape[1]),
+            "mean_tau_rms": jax.lax.psum(
+                metrics["tau_rms"].sum(), AXIS) / (
+                    n_total * metrics["tau_rms"].shape[1]),
+            "n_upright": jax.lax.psum(
+                (metrics["x_srb"][:, -1, 2] > 0.1).sum().astype(jnp.float32),
+                AXIS),
+            "n_total": n_total,
+        }
+        return ctl, plant, metrics, summary
+
+    return jax.jit(run)

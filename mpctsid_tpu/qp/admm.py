@@ -45,6 +45,27 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
+def _ns_inverse(K, x0=None, iters: int = 16):
+    """Newton-Schulz iteration for K^-1 of an SPD matrix: X <- X (2I - K X).
+
+    Matmul-only, so it runs at MXU speed where LU/triangular solves serialize
+    on TPU.  Cold init X0 = I / ||K||_inf (valid for SPD K); warm init from a
+    previous inverse (adapt rounds change K mildly) needs ~1/3 the iterations.
+    Quadratic convergence: residual ||I - XK|| squares each step."""
+    n = K.shape[0]
+    eye2 = 2.0 * jnp.eye(n, dtype=K.dtype)
+    if x0 is None:
+        norm_inf = jnp.max(jnp.sum(jnp.abs(K), axis=1))
+        X = jnp.eye(n, dtype=K.dtype) / norm_inf
+    else:
+        X = x0
+
+    def body(_, X):
+        return X @ (eye2 - K @ X)
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
 def ruiz_equilibrate(P, q, A, l, u, iters: int = 8):
     """Modified-Ruiz equilibration of [[P, A'], [A, 0]] + cost scaling.
 
@@ -55,8 +76,10 @@ def ruiz_equilibrate(P, q, A, l, u, iters: int = 8):
         cn = jnp.maximum(jnp.max(jnp.abs(Pb), axis=0),
                          jnp.max(jnp.abs(Ab), axis=0))
         cm = jnp.max(jnp.abs(Ab), axis=1)
-        dn = jax.lax.rsqrt(jnp.maximum(cn, 1e-12))
-        dm = jax.lax.rsqrt(jnp.maximum(cm, 1e-12))
+        # all-zero rows/cols (e.g. freed swing-contact rows) keep scale 1,
+        # otherwise the 1e6 factor compounds to inf across rounds
+        dn = jnp.where(cn < 1e-10, 1.0, jax.lax.rsqrt(jnp.maximum(cn, 1e-12)))
+        dm = jnp.where(cm < 1e-10, 1.0, jax.lax.rsqrt(jnp.maximum(cm, 1e-12)))
         Pb = dn[:, None] * Pb * dn[None, :]
         qb = dn * qb
         Ab = dm[:, None] * Ab * dn[None, :]
@@ -106,12 +129,28 @@ def admm_solve(P, q, A, l, u,
     y = jnp.zeros(m, dtype) if y0 is None else (y0 * c / E).astype(dtype)
     z = jnp.clip(A @ x, l, u)
 
+    prev_inv = [None]
+
     def run_block(rho_s, x, z, y, n_iters):
         """n_iters ADMM iterations at scalar rho (with the eq-row boost)."""
         rho_vec = (1.0 + eqf * (rho_eq_scale - 1.0)) * rho_s
         rho_inv = 1.0 / rho_vec
         K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_vec) @ A
         if mode == "inv":
+            # Newton-Schulz inverse: matmul-only (MXU-friendly), unlike the
+            # LU-based jnp.linalg.inv whose triangular solves serialize on TPU
+            # (measured 130 ms vs ~10 ms for B=1024 at n=192).  Warm-started
+            # from the previous adapt-round's inverse when available.
+            # VALID ONLY for cond(K) <~ 1e3 in f32 (no equality-boosted rows):
+            # the MPC QP qualifies; the WBC QP (eq rows, cond ~ 1e5) must use
+            # mode="exact_inv" — NS diverges there.
+            K_inv = _ns_inverse(K, x0=prev_inv[0],
+                                iters=22 if prev_inv[0] is None else 8)
+            prev_inv[0] = K_inv
+
+            def k_solve(rhs):
+                return K_inv @ rhs
+        elif mode == "exact_inv":
             K_inv = jnp.linalg.inv(K)
 
             def k_solve(rhs):

@@ -1,0 +1,168 @@
+"""JAX whole-body controller: TSID-style inverse-dynamics QP (replaces TSID +
+eiquadprog; SURVEY.md §2.1 "TSID WBC formulation" / "WBC QP solver").
+
+Functional twin of oracle/wbc.py with fully masked stance/swing switching —
+contact flags are DATA, not control flow, so the whole tick vmaps across
+scenarios (BASELINE.json:10 "full MPC+TSID cascade ... 4k batched rollouts").
+
+Decision variable x = [qdd(18); f(12)] in R^30.  Differences from the oracle
+formulation, both deliberate and bounded:
+  * swing-foot forces are pinned by a 1e6 ridge instead of l = u = 0 rows
+    (same rank-deficiency argument as mpc/srb.py; solution shift ~1e-6);
+  * the swing-foot tracking task is weight-masked (w_foot * (1 - contact))
+    instead of being added/removed, keeping H's sparsity pattern static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mpctsid_tpu import dyn
+from mpctsid_tpu.config import WbcConfig
+from mpctsid_tpu.model.tree import NV, KinematicTree
+from mpctsid_tpu.qp.admm import INF, admm_solve
+
+NF = 12
+NXW = NV + NF       # 30
+KD_CONTACT = 20.0   # stance-foot drift damping (matches oracle/wbc.py)
+W_PIN = 1e6
+
+
+@dataclasses.dataclass
+class WbcRefs:
+    contacts: jnp.ndarray       # (4,)
+    f_mpc: jnp.ndarray          # (4,3)
+    foot_pos_ref: jnp.ndarray   # (4,3)
+    foot_vel_ref: jnp.ndarray   # (4,3)
+    foot_acc_ref: jnp.ndarray   # (4,3)
+    q_posture: jnp.ndarray      # (12,)
+    base_rpy_ref: jnp.ndarray   # (2,)
+    h_ref: jnp.ndarray          # scalar
+
+
+jax.tree_util.register_dataclass(
+    WbcRefs,
+    data_fields=["contacts", "f_mpc", "foot_pos_ref", "foot_vel_ref",
+                 "foot_acc_ref", "q_posture", "base_rpy_ref", "h_ref"],
+    meta_fields=[])
+
+
+def _rpy(R):
+    return jnp.stack([
+        jnp.arctan2(R[2, 1], R[2, 2]),
+        -jnp.arcsin(jnp.clip(R[2, 0], -1.0, 1.0)),
+        jnp.arctan2(R[1, 0], R[0, 0]),
+    ])
+
+
+def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
+    """Returns (H, g, A, l, u, M, h_bias, JcT) for one sample."""
+    dtype = q.dtype
+    M = dyn.crba(tree, q)
+    h = dyn.rnea(tree, q, v, jnp.zeros(NV, dtype))
+    feet = dyn.foot_positions(tree, q)
+    J = dyn.foot_jacobians(tree, q)            # (4,3,18)
+    drift = dyn.foot_drifts(tree, q, v)        # (4,3)
+    foot_vel = jnp.einsum("fij,j->fi", J, v)
+    JcT = J.reshape(12, NV).T                  # (18,12)
+
+    kin = dyn.fk(tree, q)
+    R0 = kin.R0
+    rpy = _rpy(R0)
+    c = refs.contacts
+
+    # ---- cost ------------------------------------------------------------
+    H = jnp.zeros((NXW, NXW), dtype)
+    g = jnp.zeros(NXW, dtype)
+
+    # swing-foot tracking, weight-masked by (1 - contact)
+    a_des = (refs.foot_acc_ref
+             + cfg.kp_foot * (refs.foot_pos_ref - feet)
+             + cfg.kd_foot * (refs.foot_vel_ref - foot_vel))   # (4,3)
+    w_leg = cfg.w_foot * (1.0 - c)                             # (4,)
+    # task rows: J_i qdd = a_des_i - drift_i, stacked (12, NXW)
+    A_t = jnp.concatenate([J.reshape(12, NV),
+                           jnp.zeros((12, NF), dtype)], axis=1)
+    b_t = (a_des - drift).reshape(12)
+    w_rows = jnp.repeat(w_leg, 3)
+    H = H + A_t.T @ (w_rows[:, None] * A_t)
+    g = g - A_t.T @ (w_rows * b_t)
+
+    # force tracking
+    idx_f = NV + jnp.arange(NF)
+    H = H.at[idx_f, idx_f].add(cfg.w_force)
+    g = g.at[idx_f].add(-cfg.w_force * refs.f_mpc.reshape(-1))
+
+    # posture
+    idx_j = 6 + jnp.arange(12)
+    a_post = cfg.kp_posture * (refs.q_posture - q[7:]) - cfg.kd_posture * v[6:]
+    H = H.at[idx_j, idx_j].add(cfg.w_posture)
+    g = g.at[idx_j].add(-cfg.w_posture * a_post)
+
+    # base height + roll + pitch task
+    a_base = jnp.stack([
+        cfg.kp_base * (refs.h_ref - q[2]) - cfg.kd_base * v[2],
+        cfg.kp_base * (refs.base_rpy_ref[0] - rpy[0]) - cfg.kd_base * v[3],
+        cfg.kp_base * (refs.base_rpy_ref[1] - rpy[1]) - cfg.kd_base * v[4],
+    ])
+    idx_b = jnp.array([2, 3, 4])
+    H = H.at[idx_b, idx_b].add(cfg.w_base)
+    g = g.at[idx_b].add(-cfg.w_base * a_base)
+
+    # strict convexity + swing-force ridge
+    pin = 1e-6 + W_PIN * jnp.repeat(1.0 - c, 3)
+    diag_reg = jnp.concatenate([jnp.full(NV, 1e-6, dtype), pin])
+    H = H + jnp.diag(diag_reg)
+
+    # ---- constraints (50 rows) ------------------------------------------
+    inf = jnp.asarray(INF, dtype)
+    # base dynamics equalities (6)
+    A_dyn = jnp.concatenate([M[0:6], -JcT[0:6]], axis=1)
+    l_dyn = u_dyn = -h[0:6]
+    # torque bounds (12)
+    A_tau = jnp.concatenate([M[6:], -JcT[6:]], axis=1)
+    l_tau = -cfg.tau_max - h[6:]
+    u_tau = cfg.tau_max - h[6:]
+    # friction pyramid (20): stance-active, swing-free
+    Cpyr = jnp.asarray([[1.0, 0.0, -cfg.mu], [1.0, 0.0, cfg.mu],
+                        [0.0, 1.0, -cfg.mu], [0.0, 1.0, cfg.mu],
+                        [0.0, 0.0, 1.0]], dtype)
+    A_pyr = jnp.zeros((20, NXW), dtype)
+    for i in range(4):
+        A_pyr = A_pyr.at[5 * i:5 * i + 5, NV + 3 * i:NV + 3 * i + 3].set(Cpyr)
+    stance = c > 0.5
+    srep = jnp.repeat(stance, 5)
+    l_pyr = jnp.where(srep, jnp.tile(jnp.asarray(
+        [-INF, 0.0, -INF, 0.0, cfg.fz_min], dtype), 4), -inf)
+    u_pyr = jnp.where(srep, jnp.tile(jnp.asarray(
+        [0.0, INF, 0.0, INF, cfg.fz_max], dtype), 4), inf)
+    # stance contact equalities (12): J qdd = -drift - kd v_foot; swing rows free
+    crep = jnp.repeat(c, 3)
+    A_con = jnp.concatenate([J.reshape(12, NV) * crep[:, None],
+                             jnp.zeros((12, NF), dtype)], axis=1)
+    b_con = (-drift - KD_CONTACT * foot_vel).reshape(12)
+    l_con = jnp.where(crep > 0.5, b_con, -inf)
+    u_con = jnp.where(crep > 0.5, b_con, inf)
+
+    A_c = jnp.concatenate([A_dyn, A_tau, A_pyr, A_con], axis=0)
+    l_c = jnp.concatenate([l_dyn, l_tau, l_pyr, l_con])
+    u_c = jnp.concatenate([u_dyn, u_tau, u_pyr, u_con])
+    return H, g, A_c, l_c, u_c, M, h, JcT
+
+
+def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
+              iters: int = 60, adapt_rounds: int = 3,
+              warm_x=None, warm_y=None):
+    """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution)."""
+    H, g, A, l, u, M, h, JcT = build_wbc_qp(tree, cfg, q, v, refs)
+    sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
+                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
+                     mode="exact_inv")
+    qdd = sol.x[:NV]
+    f = sol.x[NV:]
+    tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f
+    return tau, qdd, f.reshape(4, 3), sol
