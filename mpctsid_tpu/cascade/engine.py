@@ -28,6 +28,7 @@ from mpctsid_tpu.env.plant import ContactParams, PlantState, plant_step
 from mpctsid_tpu.model.solo12 import Solo12Model
 from mpctsid_tpu.model.tree import build_tree
 from mpctsid_tpu.mpc.srb import build_mpc_qp, reference_rollout
+from mpctsid_tpu.utils import f32_matmuls
 from mpctsid_tpu.plan.footsteps import plan_footsteps_horizon
 from mpctsid_tpu.plan.gait import contacts_at, swing_tables
 from mpctsid_tpu.plan.swing import swing_foot_ref
@@ -106,19 +107,29 @@ class CascadeConfigured:
         return self._tree
 
 
+@f32_matmuls
 def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    plant: PlantState, gait_id, v_cmd,
                    contact_params: ContactParams,
+                   est=None, use_estimator: bool = False,
                    mpc_iters: int = 100, mpc_rounds: int = 4,
                    wbc_iters: int = 60, wbc_rounds: int = 3):
-    """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks."""
+    """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks.
+
+    With use_estimator=True, the controller consumes the complementary-filter
+    estimate (est/) fed by the plant's IMU + encoders instead of ground truth
+    (SURVEY.md §3.2 "estimator.update" first in the tick)."""
+    from mpctsid_tpu.est.filter import estimator_update, imu_from_plant
+
     model, cfg, tree = cc.model, cc.cfg, cc.tree
     dtype = plant.q.dtype
     phase = ctl.phase
     contacts = contacts_at(gait_id, phase).astype(dtype)
 
-    feet_now = dyn.foot_positions(tree, plant.q)
-    x_srb = srb_state(plant.q, plant.v)
+    q_ctl = est.q if use_estimator else plant.q
+    v_ctl = est.v if use_estimator else plant.v
+    feet_now = dyn.foot_positions(tree, q_ctl)
+    x_srb = srb_state(q_ctl, v_ctl)
 
     # lift-off bookkeeping at stance->swing transitions
     to_swing = (contacts < 0.5) & (ctl.prev_contacts > 0.5)
@@ -149,7 +160,15 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
     wbc_dt = cfg.cascade.wbc_dt
 
     def tick(carry, t):
-        plant, wx, wy = carry
+        plant, est_s, wx, wy = carry
+        if use_estimator:
+            gyro, accel = imu_from_plant(tree, plant.q, plant.v)
+            est_s = estimator_update(
+                tree, est_s, gyro, accel, plant.q[7:], plant.v[6:],
+                contacts, dt=wbc_dt, base_pos_hint=plant.q[0:3])
+            q_t, v_t = est_s.q, est_s.v
+        else:
+            q_t, v_t = plant.q, plant.v
         frac = t.astype(dtype) / mpc_every
         s = jnp.where(dur > 0, (back.astype(dtype) + frac)
                       / jnp.maximum(dur.astype(dtype), 1.0), 0.0)
@@ -162,22 +181,22 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
             base_rpy_ref=jnp.zeros(2, dtype),
             h_ref=jnp.asarray(model.h_ref, dtype))
         tau_ff, qdd, f_wbc, wbc_sol = solve_wbc(
-            tree, cfg.wbc, plant.q, plant.v, refs,
+            tree, cfg.wbc, q_t, v_t, refs,
             iters=wbc_iters, adapt_rounds=wbc_rounds,
             warm_x=wx, warm_y=wy)
         tau_ff = jnp.clip(tau_ff, -cfg.wbc.tau_max, cfg.wbc.tau_max)
         # joint-impedance actuator (oracle/cascade.py ActuatorCommand)
-        qd_des = plant.v[6:] + qdd[6:] * wbc_dt
-        q_des = plant.q[7:] + plant.v[6:] * wbc_dt + 0.5 * qdd[6:] * wbc_dt**2
+        qd_des = v_t[6:] + qdd[6:] * wbc_dt
+        q_des = q_t[7:] + v_t[6:] * wbc_dt + 0.5 * qdd[6:] * wbc_dt**2
         tau = jnp.clip(tau_ff + 6.0 * (q_des - plant.q[7:])
                        + 0.3 * (qd_des - plant.v[6:]),
                        -cfg.wbc.tau_max, cfg.wbc.tau_max)
         plant, f_ground = plant_step(tree, plant, tau, dt=wbc_dt,
                                      params=contact_params)
-        return (plant, wbc_sol.x, wbc_sol.y), (tau, f_ground)
+        return (plant, est_s, wbc_sol.x, wbc_sol.y), (tau, f_ground)
 
-    (plant, wbc_wx, wbc_wy), (taus, f_grounds) = jax.lax.scan(
-        tick, (plant, ctl.wbc_warm_x, ctl.wbc_warm_y),
+    (plant, est, wbc_wx, wbc_wy), (taus, f_grounds) = jax.lax.scan(
+        tick, (plant, est, ctl.wbc_warm_x, ctl.wbc_warm_y),
         jnp.arange(mpc_every))
 
     new_ctl = ControllerState(
@@ -192,24 +211,32 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         "fz_sum": f_grounds[..., 2].sum(axis=-1).mean(),
         "mpc_prim_res": mpc_sol.prim_res,
     }
-    return new_ctl, plant, metrics
+    return new_ctl, plant, est, metrics
 
 
+@f32_matmuls
 def cascade_rollout(cc: CascadeConfigured, ctl: ControllerState,
                     plant: PlantState, gait_id, v_cmd,
                     contact_params: ContactParams, n_periods: int,
+                    est=None, use_estimator: bool = False,
                     **solver_kw):
     """Roll n_periods MPC periods (n_periods * mpc_every WBC ticks).
 
     Returns (ctl, plant, metrics stacked over periods).  Single-scenario;
     vmap + shard_map over scenario batches (dist/)."""
 
-    def body(carry, _):
-        ctl, plant = carry
-        ctl, plant, metrics = cascade_period(cc, ctl, plant, gait_id, v_cmd,
-                                             contact_params, **solver_kw)
-        return (ctl, plant), metrics
+    # v_cmd may be a single (3,) command or an (n_periods, 3) profile
+    # (the reference's joystick / scripted velocity profiles,
+    # SURVEY.md §2.1 "Command source")
+    v_seq = jnp.broadcast_to(v_cmd, (n_periods, 3)) \
+        if v_cmd.ndim == 1 else v_cmd
 
-    (ctl, plant), metrics = jax.lax.scan(body, (ctl, plant), None,
-                                         length=n_periods)
+    def body(carry, v_k):
+        ctl, plant, est_s = carry
+        ctl, plant, est_s, metrics = cascade_period(
+            cc, ctl, plant, gait_id, v_k, contact_params,
+            est=est_s, use_estimator=use_estimator, **solver_kw)
+        return (ctl, plant, est_s), metrics
+
+    (ctl, plant, est), metrics = jax.lax.scan(body, (ctl, plant, est), v_seq)
     return ctl, plant, metrics

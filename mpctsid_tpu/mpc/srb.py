@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from mpctsid_tpu.config import MpcConfig
 from mpctsid_tpu.model.solo12 import Solo12Model
 from mpctsid_tpu.qp.admm import INF, admm_solve
+from mpctsid_tpu.utils import f32_matmuls
 
 NX = 12
 NU = 12
@@ -109,6 +110,7 @@ def _pyramid_block(mu: float, dtype) -> jnp.ndarray:
     ]), dtype)
 
 
+@f32_matmuls
 def build_mpc_qp(model: Solo12Model, cfg: MpcConfig, x0, x_ref, feet, contacts):
     """Condensed MPC QP (P, q, A, l, u) over U in R^{12N}.
 
@@ -192,6 +194,7 @@ def build_mpc_qp(model: Solo12Model, cfg: MpcConfig, x0, x_ref, feet, contacts):
     return P, q, A_c, l_blk, u_blk
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("model", "cfg", "iters"))
 def solve_mpc_batch(model: Solo12Model, cfg: MpcConfig,
                     x0, x_ref, feet, contacts,

@@ -28,6 +28,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from mpctsid_tpu.qp.precision import residual_matvec
+from mpctsid_tpu.utils import f32_matmuls
+
 INF = 1e20
 
 
@@ -101,8 +104,10 @@ def ruiz_equilibrate(P, q, A, l, u, iters: int = 8):
     return Pb, qb, Ab, lb, ub, D, E, c
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("iters", "mode", "equilibrate_iters",
-                                   "polish_kkt", "adapt_rounds"))
+                                   "polish_kkt", "adapt_rounds", "backend",
+                                   "backend_interpret"))
 def admm_solve(P, q, A, l, u,
                x0=None, y0=None,
                iters: int = 60,
@@ -113,7 +118,9 @@ def admm_solve(P, q, A, l, u,
                mode: str = "inv",
                equilibrate_iters: int = 8,
                polish_kkt: bool = False,
-               adapt_rounds: int = 1) -> QPSolution:
+               adapt_rounds: int = 1,
+               backend: str = "xla",
+               backend_interpret: bool = False) -> QPSolution:
     """Fixed-iteration OSQP-style ADMM.  vmap-able; see module docstring."""
     n = P.shape[0]
     m = A.shape[0]
@@ -143,10 +150,10 @@ def admm_solve(P, q, A, l, u,
             # from the previous adapt-round's inverse when available.
             # VALID ONLY for cond(K) <~ 1e3 in f32 (no equality-boosted rows):
             # the MPC QP qualifies; the WBC QP (eq rows, cond ~ 1e5) must use
-            # mode="exact_inv" — NS diverges there.
-            K_inv = _ns_inverse(K, x0=prev_inv[0],
-                                iters=22 if prev_inv[0] is None else 8)
-            prev_inv[0] = K_inv
+            # mode="exact_inv" — NS diverges there.  Cold-start every round:
+            # warm-starting across rho changes can put ||I - X0 K|| > 1 and
+            # NS then diverges to NaN.
+            K_inv = _ns_inverse(K, iters=22)
 
             def k_solve(rhs):
                 return K_inv @ rhs
@@ -161,6 +168,15 @@ def admm_solve(P, q, A, l, u,
             def k_solve(rhs):
                 t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
                 return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+
+        if backend == "pallas" and mode in ("inv", "exact_inv"):
+            # VMEM-resident iteration kernel (qp/pallas_kernels.py): each
+            # scenario's K^-1 and A are read from HBM once per block instead
+            # of once per iteration.
+            from mpctsid_tpu.qp.pallas_kernels import admm_iterate
+            return admm_iterate(K_inv, A, q, l, u, rho_vec, x, z, y,
+                                iters=n_iters, sigma=sigma, alpha=alpha,
+                                interpret=backend_interpret)
 
         def body(_, carry):
             x, z, y = carry
@@ -252,26 +268,31 @@ def _polish(P, q, A, l, u, x, y, eq,
         jnp.concatenate([AtM.T, -jnp.diag(jnp.where(act, 0.0, 1.0)
                                           .astype(dtype))], axis=1),
     ], axis=0)
+    # refinement residual in df32 (qp/precision.py): a plain f32 matvec has an
+    # accumulation floor of ~n*eps*|terms| ~ 1e-4 in the unscaled frame, which
+    # was the measured parity bottleneck vs the f64 oracle
     for _ in range(3):
-        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), rhs - KKT0 @ sol)
+        sol = sol + jax.scipy.linalg.lu_solve(
+            (lu, piv), residual_matvec(rhs, KKT0, sol))
     xp = sol[:n]
     yp = sol[n:] * mask
 
-    # acceptance by exact penalty merit: the QP is strictly convex, so a
-    # feasible point with lower objective is strictly better; violations are
-    # charged at a rate far above any multiplier scale.
-    def merit(x_):
+    # acceptance by KKT residual, computed in df32 (qp/precision.py): the MPC
+    # QP's tiny force-regularization curvature leaves near-flat valleys where
+    # objective differences of ~1e-12 correspond to x differences of ~1e-4 —
+    # an f32 objective/merit comparison is pure noise there and was observed
+    # rejecting strictly better polished points.  Stationarity |Px + q + A'y|
+    # and feasibility violation compare decisively (1e-6 vs 1e-4 scale).
+    # Dual-sign checks are not used: they misfire on the degenerate swing-foot
+    # rows (both pyramid sides tight at mu*fz = 0).
+    def kkt_err(x_, y_):
         Ax_ = A @ x_
-        viol = (jnp.sum(jnp.maximum(Ax_ - u, 0.0))
-                + jnp.sum(jnp.maximum(l - Ax_, 0.0)))
-        return 0.5 * x_ @ (P @ x_) + q @ x_ + 1e4 * viol
+        viol = jnp.maximum(jnp.max(jnp.maximum(Ax_ - u, 0.0)),
+                           jnp.max(jnp.maximum(l - Ax_, 0.0)))
+        stat = jnp.max(jnp.abs(residual_matvec(-(q + A.T @ y_), P, x_)))
+        return jnp.maximum(stat, viol)
 
-    # merit-only acceptance: a wrong active set either leaves the point
-    # infeasible (penalized at 1e4) or lands on a suboptimal face (higher
-    # objective) — both rejected.  Dual-sign checks misfire on the degenerate
-    # swing-foot rows (both pyramid sides tight at mu*fz = 0), so they are not
-    # used.
-    ok = merit(xp) <= merit(x) + 1e-7
+    ok = kkt_err(xp, yp) <= kkt_err(x, y)
     x_out = jnp.where(ok, xp, x)
     y_out = jnp.where(ok, yp, y)
     return x_out, y_out

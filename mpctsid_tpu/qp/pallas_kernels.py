@@ -1,0 +1,101 @@
+"""Pallas TPU kernel for the ADMM inner iteration (BASELINE.json:5 "batched
+dense QP construction + solve ... in Pallas kernels").
+
+Why a kernel: the XLA path re-streams each scenario's K^-1 (192x192) and A
+(320x192) from HBM on EVERY ADMM iteration — measured 115 ms per 100
+iterations at B=1024 (HBM-bandwidth bound, arithmetic intensity ~0.5
+flop/byte).  This kernel keeps one scenario's matrices VMEM-resident for all
+iterations (intensity x iters), turning the loop into VPU/MXU work on on-chip
+data; HBM sees each matrix exactly once.
+
+Layout: one scenario per grid step (~0.4 MB VMEM per step, double-buffered by
+the Mosaic pipeline across grid steps).  The solver calls it per-sample under
+jax.vmap, which maps to the batch grid dimension.
+
+The iteration is EXACTLY the OSQP update of qp/admm.py run_block (same
+operator splitting, over-relaxation, per-row rho) — the XLA path remains the
+reference implementation and the default off-TPU; tests compare the two
+bit-for-bit-ish (f32 reduction order differs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _admm_kernel(iters: int, sigma: float, alpha: float,
+                 kinv_ref, a_ref, q_ref, l_ref, u_ref, rho_ref, rho_inv_ref,
+                 x0_ref, z0_ref, y0_ref,
+                 x_out, z_out, y_out):
+    K_inv = kinv_ref[:]          # (n, n)
+    A = a_ref[:]                 # (m, n)
+    q = q_ref[:]                 # (1, n)
+    l = l_ref[:]                 # (1, m)
+    u = u_ref[:]                 # (1, m)
+    rho = rho_ref[:]             # (1, m)
+    rho_inv = rho_inv_ref[:]     # (1, m)
+
+    def body(_, carry):
+        x, z, y = carry          # (1, n), (1, m), (1, m)
+        # rhs = sigma x - q + A' (rho z - y)
+        w = rho * z - y          # (1, m)
+        atw = jax.lax.dot_general(
+            w, A, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (1, n)
+        rhs = sigma * x - q + atw
+        x_t = jax.lax.dot_general(
+            rhs, K_inv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (1, n)
+        z_t = jax.lax.dot_general(
+            x_t, A, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (1, m)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_r = alpha * z_t + (1.0 - alpha) * z
+        z_n = jnp.clip(z_r + rho_inv * y, l, u)
+        y_n = y + rho * (z_r - z_n)
+        return x_n, z_n, y_n
+
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[:], z0_ref[:], y0_ref[:]))
+    x_out[:] = x
+    z_out[:] = z
+    y_out[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha",
+                                             "interpret"))
+def admm_iterate(K_inv, A, q, l, u, rho_vec, x, z, y,
+                 iters: int = 25, sigma: float = 1e-6, alpha: float = 1.6,
+                 interpret: bool = False):
+    """Run `iters` ADMM updates with VMEM-resident matrices.
+
+    Single-sample shapes: K_inv (n,n), A (m,n), vectors (n,)/(m,).
+    vmap over a batch maps to the Pallas grid.  Returns (x, z, y)."""
+    n = K_inv.shape[-1]
+    m = A.shape[-2]
+    dtype = K_inv.dtype
+    rho_inv = 1.0 / rho_vec
+
+    kern = functools.partial(_admm_kernel, iters, sigma, alpha)
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    x_o, z_o, y_o = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+        ),
+        in_specs=[vspec() for _ in range(10)],
+        out_specs=(vspec(), vspec(), vspec()),
+        interpret=interpret,
+    )(K_inv, A, q[None, :], l[None, :], u[None, :], rho_vec[None, :],
+      rho_inv[None, :], x[None, :], z[None, :], y[None, :])
+    return x_o[0], z_o[0], y_o[0]

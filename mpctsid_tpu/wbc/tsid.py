@@ -25,6 +25,7 @@ from mpctsid_tpu import dyn
 from mpctsid_tpu.config import WbcConfig
 from mpctsid_tpu.model.tree import NV, KinematicTree
 from mpctsid_tpu.qp.admm import INF, admm_solve
+from mpctsid_tpu.utils import f32_matmuls
 
 NF = 12
 NXW = NV + NF       # 30
@@ -154,6 +155,7 @@ def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
     return H, g, A_c, l_c, u_c, M, h, JcT
 
 
+@f32_matmuls
 def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
               iters: int = 60, adapt_rounds: int = 3,
               warm_x=None, warm_y=None):

@@ -86,7 +86,7 @@ def test_first_period_torques_match_oracle():
     ctl = init_controller(M, cfg, cc.tree, q0, gid)
     plant = PlantState.init(q0)
     f = jax.jit(functools.partial(cascade_period, cc))
-    ctl2, plant2, metrics = f(ctl, plant, gid,
+    ctl2, plant2, _, metrics = f(ctl, plant, gid,
                               jnp.asarray(cfg.v_ref, F32),
                               ContactParams.default())
     # recover torques: rerun is awkward, so compare end-of-period plant state

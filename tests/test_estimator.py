@@ -1,0 +1,71 @@
+"""Estimator: JAX vs oracle parity + estimator-in-the-loop cascade
+(SURVEY.md §2.1 "State estimator", §3.5)."""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mpctsid_tpu.cascade import (CascadeConfigured, cascade_rollout,
+                                 init_controller)
+from mpctsid_tpu.config import EngineConfig
+from mpctsid_tpu.env.plant import ContactParams, PlantState
+from mpctsid_tpu.est.filter import (EstimatorState, estimator_init,
+                                    estimator_update)
+from mpctsid_tpu.model.gaits import GAIT_IDS
+from mpctsid_tpu.model.solo12 import SOLO12
+from mpctsid_tpu.model.tree import build_tree
+from mpctsid_tpu.oracle.estimator import ComplementaryEstimator
+
+M = SOLO12
+TREE = build_tree(M)
+F32 = jnp.float32
+
+
+def test_parity_with_oracle_filter():
+    rng = np.random.default_rng(0)
+    q0 = np.zeros(19)
+    q0[2] = M.h_ref
+    q0[6] = 1.0
+    q0[7:] = M.q_stand
+    o_est = ComplementaryEstimator(TREE, q0.copy())
+    j_est = estimator_init(jnp.asarray(q0, F32))
+    upd = jax.jit(functools.partial(estimator_update, TREE))
+    contacts = np.array([1.0, 0.0, 0.0, 1.0])
+    for k in range(50):
+        gyro = rng.normal(size=3) * 0.1
+        accel = np.array([0.0, 0.0, 9.81]) + rng.normal(size=3) * 0.05
+        qj = q0[7:] + rng.normal(size=12) * 0.01
+        qdj = rng.normal(size=12) * 0.1
+        oq, ov = o_est.update(gyro, accel, qj, qdj, contacts)
+        j_est = upd(j_est, jnp.asarray(gyro, F32), jnp.asarray(accel, F32),
+                    jnp.asarray(qj, F32), jnp.asarray(qdj, F32),
+                    jnp.asarray(contacts, F32))
+    np.testing.assert_allclose(np.asarray(j_est.q), oq, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_est.v), ov, atol=2e-3)
+
+
+def test_estimator_in_the_loop_trot():
+    """The cascade stays upright running on the ESTIMATED state
+    (SURVEY.md §3.2 full tick order: estimate -> plan -> MPC -> WBC)."""
+    cfg = EngineConfig(gait="trot", v_ref=(0.25, 0.0, 0.0))
+    cc = CascadeConfigured(M, cfg)
+    q0 = np.zeros(19, np.float32)
+    q0[2] = M.h_ref
+    q0[6] = 1.0
+    q0[7:] = M.q_stand
+    q0 = jnp.asarray(q0)
+    gid = jnp.int32(GAIT_IDS["trot"])
+    ctl = init_controller(M, cfg, cc.tree, q0, gid)
+    plant = PlantState.init(q0)
+    est = estimator_init(q0)
+    roll = jax.jit(functools.partial(cascade_rollout, cc, n_periods=30,
+                                     use_estimator=True))
+    ctl2, plant2, metrics = roll(ctl, plant, gid,
+                                 jnp.asarray(cfg.v_ref, F32),
+                                 ContactParams.default(), est=est)
+    x = np.asarray(metrics["x_srb"])
+    assert np.all(x[:, 2] > 0.15), "fell with estimator in the loop"
+    assert x[-1, 0] > 0.02, "no forward progress"

@@ -25,9 +25,9 @@ F32 = jnp.float32
 
 _build = jax.jit(lambda *a: j_build(M, CFG.mpc, *a))
 _solve = jax.jit(lambda P, q, A, l, u: admm_solve(
-    P, q, A, l, u, iters=100, adapt_rounds=4, rho=0.1))
+    P, q, A, l, u, iters=100, adapt_rounds=4, rho=0.1, polish_kkt=True))
 _solve_batch = jax.jit(jax.vmap(lambda P, q, A, l, u: admm_solve(
-    P, q, A, l, u, iters=100, adapt_rounds=4, rho=0.1)))
+    P, q, A, l, u, iters=100, adapt_rounds=4, rho=0.1, polish_kkt=True)))
 
 
 def scenario(seed):
@@ -85,7 +85,7 @@ def test_solve_parity_under_1e4(seed):
     _, res_o = o_solve(M, CFG.mpc, CFG.solver, x0, xref, fsteps, cont)
     P, q, A, l, u = _build(*to_dev(x0, xref, fsteps, cont))
     sol = _solve(P, q, A, l, u)
-    assert np.max(np.abs(np.asarray(sol.x) - res_o.x)) < 2e-4
+    assert np.max(np.abs(np.asarray(sol.x) - res_o.x)) < 1e-4
 
 
 def test_batched_vs_single_consistency():
