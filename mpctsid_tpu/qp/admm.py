@@ -8,10 +8,11 @@ float64 reference for this module; SURVEY.md §2.1 native table rows "OSQP" and
   * FIXED iteration count (SURVEY.md §7.3 "fixed-iteration ADMM"): no data-
     dependent control flow, so the whole solve jits into one fused program and
     `vmap`s across thousands of scenarios in lockstep (BASELINE.json:5).
-  * The KKT matrix K = P + sigma I + A' diag(rho) A is factored ONCE per solve
-    and applied as a dense inverse: every ADMM iteration is then two batched
-    matmuls + a clip — pure MXU + VPU work.  (n <= 192, so K^-1 is small; the
-    alternative triangular-solve path is kept for comparison.)
+  * The KKT matrix K = P + sigma I + A' diag(rho) A is inverted ONCE per adapt
+    round (diagonal-pivoted blocked Schur elimination, qp/blockinv.py) and
+    applied as a dense inverse: every ADMM iteration is then two batched
+    matmuls + a clip — pure MXU + VPU work.  (n <= 192, so K^-1 is small;
+    Newton-Schulz / LU / Cholesky paths are kept for comparison.)
   * Ruiz equilibration + cost scaling in-graph (f32 conditioning; §7.3
     "Numerics").
   * Per-row rho with the OSQP 1e3 equality boost (rows with l == u), computed
@@ -28,6 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from mpctsid_tpu.qp.blockinv import spd_inverse_chol
 from mpctsid_tpu.qp.precision import residual_matvec
 from mpctsid_tpu.utils import f32_matmuls
 
@@ -115,7 +117,7 @@ def admm_solve(P, q, A, l, u,
                sigma: float = 1e-6,
                alpha: float = 1.6,
                rho_eq_scale: float = 1e3,
-               mode: str = "inv",
+               mode: str = "blockinv",
                equilibrate_iters: int = 8,
                polish_kkt: bool = False,
                adapt_rounds: int = 1,
@@ -143,7 +145,20 @@ def admm_solve(P, q, A, l, u,
         rho_vec = (1.0 + eqf * (rho_eq_scale - 1.0)) * rho_s
         rho_inv = 1.0 / rho_vec
         K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_vec) @ A
-        if mode == "inv":
+        if mode == "blockinv":
+            # Blocked Cholesky + triangular inverse + 1 Newton-Schulz
+            # correction (qp/blockinv.py): matmul-only like NS, but an exact
+            # O(n^3) factorization whose triangular inverse only faces
+            # cond(L) = sqrt(cond(K)) — backward-stable where the raw Schur
+            # recursion lost ~cond(K)*eps and NaN'd the cascade on
+            # equality-boosted WBC KKTs (residual ~1 at cond 1e4 in f32;
+            # chol matches batched LU at 3e-4 on the same matrices).  Works
+            # for both QP stages; the modes below are reference/fallbacks.
+            K_inv = spd_inverse_chol(K, ns_steps=1)
+
+            def k_solve(rhs):
+                return K_inv @ rhs
+        elif mode == "inv":
             # Newton-Schulz inverse: matmul-only (MXU-friendly), unlike the
             # LU-based jnp.linalg.inv whose triangular solves serialize on TPU
             # (measured 130 ms vs ~10 ms for B=1024 at n=192).  Warm-started
@@ -169,7 +184,7 @@ def admm_solve(P, q, A, l, u,
                 t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
                 return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
 
-        if backend == "pallas" and mode in ("inv", "exact_inv"):
+        if backend == "pallas" and mode in ("blockinv", "inv", "exact_inv"):
             # VMEM-resident iteration kernel (qp/pallas_kernels.py): each
             # scenario's K^-1 and A are read from HBM once per block instead
             # of once per iteration.
@@ -209,8 +224,14 @@ def admm_solve(P, q, A, l, u,
                 jnp.maximum(jnp.max(jnp.abs(Px)),
                             jnp.maximum(jnp.max(jnp.abs(q)),
                                         jnp.max(jnp.abs(Aty)))), 1e-12)
+            # f32 deviation from OSQP's [1e-6, 1e6]: rho bounds [1e-3, 1e3].
+            # K = P + sigma I + A' rho A has lmin >~ rho * lmin(A'A), so tiny
+            # rho drives cond(K) past what ANY f32 factorization can invert
+            # (observed: adapted rho 4.8e-4 -> cond ~ 1e6 -> inverse residual
+            # 4e6).  Warm starts + the polish tail recover the convergence
+            # speed the narrower rho range gives up.
             rho_s = jnp.clip(rho_s * jnp.sqrt(rp / jnp.maximum(rd, 1e-12)),
-                             1e-6, 1e6)
+                             1e-3, 1e3)
 
     if polish_kkt:
         # polish in the SCALED frame (well-conditioned KKT for the f32 solve);

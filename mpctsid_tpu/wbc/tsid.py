@@ -162,8 +162,7 @@ def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
     """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution)."""
     H, g, A, l, u, M, h, JcT = build_wbc_qp(tree, cfg, q, v, refs)
     sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
-                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
-                     mode="exact_inv")
+                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1)
     qdd = sol.x[:NV]
     f = sol.x[NV:]
     tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f
