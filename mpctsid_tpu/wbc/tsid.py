@@ -5,11 +5,18 @@ Functional twin of oracle/wbc.py with fully masked stance/swing switching —
 contact flags are DATA, not control flow, so the whole tick vmaps across
 scenarios (BASELINE.json:10 "full MPC+TSID cascade ... 4k batched rollouts").
 
-Decision variable x = [qdd(18); f(12)] in R^30.  One deliberate difference
-from the oracle formulation: the swing-foot tracking task is weight-masked
-(w_foot * (1 - contact)) instead of being added/removed, keeping H's shape
-static.  Swing forces are pinned via fz in [0, 0] pyramid bounds exactly as
-in oracle/wbc.py.
+Decision variable x = [qdd(18); f(12)] in R^30.  Differences from the oracle
+formulation, both deliberate and bounded:
+  * swing-foot forces are pinned by a 1e6 ridge instead of l = u = 0 rows
+    (same rank-deficiency argument as mpc/srb.py; solution shift ~1e-6).
+    The l = u = 0 pyramid-bound variant was tried (round 1) and REGRESSED:
+    the degenerate tight pair (both mu sides active at mu*fz = 0) stalls the
+    fixed-iteration ADMM — f32 60-iter torque error grew from ~5e-3 to ~3 Nm
+    on mid-gait ticks and the closed-loop trot fell (VERDICT.md round 1).
+    The ridge keeps every constraint row regular; cond(H) ~ 1e7 is handled
+    by the Jacobi pre-scaling inside qp/blockinv.py spd_inverse_chol.
+  * the swing-foot tracking task is weight-masked (w_foot * (1 - contact))
+    instead of being added/removed, keeping H's sparsity pattern static.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from mpctsid_tpu.utils import f32_matmuls
 NF = 12
 NXW = NV + NF       # 30
 KD_CONTACT = 20.0   # stance-foot drift damping (matches oracle/wbc.py)
+W_PIN = 1e6         # swing-force Hessian ridge (see module docstring)
 
 
 @dataclasses.dataclass
@@ -112,10 +120,11 @@ def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
     H = H.at[idx_b, idx_b].add(cfg.w_base)
     g = g.at[idx_b].add(-cfg.w_base * a_base)
 
-    # strict convexity (swing forces are pinned by the pyramid bounds below,
-    # exactly as in oracle/wbc.py — a 1e6 Hessian ridge was tried instead and
-    # put cond(H) at 2.8e7, past what any f32 factorization can survive)
-    H = H + 1e-6 * jnp.eye(NXW, dtype=dtype)
+    # strict convexity + swing-force ridge (see module docstring for why the
+    # ridge beats l = u = 0 bound rows under the fixed-iteration ADMM)
+    pin = 1e-6 + W_PIN * jnp.repeat(1.0 - c, 3)
+    diag_reg = jnp.concatenate([jnp.full(NV, 1e-6, dtype), pin])
+    H = H + jnp.diag(diag_reg)
 
     # ---- constraints (50 rows) ------------------------------------------
     inf = jnp.asarray(INF, dtype)
@@ -133,17 +142,15 @@ def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
     A_pyr = jnp.zeros((20, NXW), dtype)
     for i in range(4):
         A_pyr = A_pyr.at[5 * i:5 * i + 5, NV + 3 * i:NV + 3 * i + 3].set(Cpyr)
-    # stance: fz in [fz_min, fz_max]; swing: fz in [0, 0], which with the
-    # mu-pyramid rows forces fx = fy = 0 as well (matches oracle/wbc.py —
-    # bound rows are exact under ADMM projection and conditioning-neutral,
-    # unlike a Hessian ridge)
+    # stance feet get the active pyramid; swing feet get fully-free rows (the
+    # ridge above pins their forces to ~0, so degenerate tight bound pairs
+    # never enter the ADMM projection)
     stance = c > 0.5
-    fz_lo = jnp.where(stance, cfg.fz_min, 0.0)
-    fz_hi = jnp.where(stance, cfg.fz_max, 0.0)
-    l_pyr = jnp.tile(jnp.asarray([-INF, 0.0, -INF, 0.0, 0.0], dtype), 4)
-    l_pyr = l_pyr.at[4::5].set(fz_lo)
-    u_pyr = jnp.tile(jnp.asarray([0.0, INF, 0.0, INF, 0.0], dtype), 4)
-    u_pyr = u_pyr.at[4::5].set(fz_hi)
+    srep = jnp.repeat(stance, 5)
+    l_pyr = jnp.where(srep, jnp.tile(jnp.asarray(
+        [-INF, 0.0, -INF, 0.0, cfg.fz_min], dtype), 4), -inf)
+    u_pyr = jnp.where(srep, jnp.tile(jnp.asarray(
+        [0.0, INF, 0.0, INF, cfg.fz_max], dtype), 4), inf)
     # stance contact equalities (12): J qdd = -drift - kd v_foot; swing rows free
     crep = jnp.repeat(c, 3)
     A_con = jnp.concatenate([J.reshape(12, NV) * crep[:, None],
@@ -165,7 +172,8 @@ def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
     """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution)."""
     H, g, A, l, u, M, h, JcT = build_wbc_qp(tree, cfg, q, v, refs)
     sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
-                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1)
+                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
+                     mode="exact_inv")
     qdd = sol.x[:NV]
     f = sol.x[NV:]
     tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f
