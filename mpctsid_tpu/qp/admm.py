@@ -157,7 +157,12 @@ def admm_solve(P, q, A, l, u,
             K_inv = spd_inverse_chol(K, ns_steps=1)
 
             def k_solve(rhs):
-                return K_inv @ rhs
+                # one iterative-refinement step: squares the inverse's
+                # relative error (~1e-2 at cond 1e5 -> ~1e-4) for two extra
+                # matmuls — still MXU-only, and what closes the parity gap
+                # vs the LU inverse on the WBC ridge KKT (scripts/diag_kinv)
+                x_a = K_inv @ rhs
+                return x_a + K_inv @ (rhs - K @ x_a)
         elif mode == "inv":
             # Newton-Schulz inverse: matmul-only (MXU-friendly), unlike the
             # LU-based jnp.linalg.inv whose triangular solves serialize on TPU

@@ -171,9 +171,12 @@ def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
               warm_x=None, warm_y=None):
     """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution)."""
     H, g, A, l, u, M, h, JcT = build_wbc_qp(tree, cfg, q, v, refs)
+    # blockinv + in-iteration refinement (qp/admm.py k_solve) matches the LU
+    # inverse's parity on the ridge KKT at MXU-only cost (scripts/diag_wbc_mode:
+    # mean torque err 0.18 vs 0.15 cold at 60 iters; warm starts in the cascade
+    # bring both under the 2e-3 plant-state parity budget)
     sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
-                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
-                     mode="exact_inv")
+                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1)
     qdd = sol.x[:NV]
     f = sol.x[NV:]
     tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f
