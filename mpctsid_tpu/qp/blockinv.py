@@ -183,6 +183,14 @@ def spd_inverse_chol(K, ns_steps: int = 1):
         bad = ~(jnp.sum((eye - Ks @ X) ** 2)
                 < jnp.sum((eye - Ks @ X0) ** 2) * 4.0 + 1.0)
         X = jnp.where(bad, X0, X)
+    # Last-resort finite fallback: at f32-indefinite input (cond >~ 1e9) the
+    # floored base-case pivots cascade-overflow through the Schur updates and
+    # L itself goes non-finite.  Fall back to the Jacobi inverse diag(1/diag K)
+    # — identity in the scaled frame — which ADMM degrades gracefully under,
+    # instead of poisoning every scenario sharing the vmapped batch
+    # (tests/test_blockinv.py::test_ns_safeguard_no_nan_on_indefinite).
+    nonfinite = ~jnp.all(jnp.isfinite(X))
+    X = jnp.where(nonfinite, jnp.eye(K.shape[0], dtype=K.dtype), X)
     return X * s[:, None] * s[None, :]
 
 
