@@ -62,9 +62,18 @@ WALK = _make("walk", _phase_table(
     lambda k: [0.0 if _WALK_ORDER[4 * k // GAIT_PERIOD] == leg else 1.0
                for leg in range(N_FEET)]))
 
-# Bound: front pair and hind pair alternate every half period.
+# Bound: front pair and hind pair alternate, separated by double-support
+# phases (4 front / 4 all / 4 hind / 4 all at dt=20ms).  A pure 50%-duty
+# alternating bound keeps a single pair loaded for 0.16 s, which is statically
+# unbalanceable for this controller family (no flight-phase handling) — the
+# closed-loop robot pitches over within ~10 gait cycles (oracle-verified).
+# The double-support variant is stable at 0.25-0.3 m/s in both the f64 oracle
+# and the f32 device cascade (tests/test_cascade_jax.py::test_gait_sweep).
 BOUND = _make("bound", _phase_table(
-    lambda k: [1, 1, 0, 0] if k < GAIT_PERIOD // 2 else [0, 0, 1, 1]))
+    lambda k: [1, 1, 0, 0] if k < 4 else
+              [1, 1, 1, 1] if k < 8 else
+              [0, 0, 1, 1] if k < 12 else
+              [1, 1, 1, 1]))
 
 # Static stand: all four feet down.
 STATIC = _make("static", np.ones((GAIT_PERIOD, N_FEET)))

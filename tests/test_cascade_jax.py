@@ -48,6 +48,21 @@ def test_stand_holds_height():
     assert np.abs(x[-1, 3:5]).max() < 0.02
 
 
+@pytest.mark.parametrize("gait,v,min_z,max_rp,min_x", [
+    # walk: one-foot-at-a-time, quasi-static — tight attitude budget
+    ("walk", (0.2, 0.0, 0.0), 0.20, 0.10, 0.03),
+    # bound: pair stance with double support — pitch oscillates by design
+    ("bound", (0.25, 0.0, 0.0), 0.12, 0.25, 0.05),
+])
+def test_gait_sweep_closed_loop(gait, v, min_z, max_rp, min_x):
+    """BASELINE.json:8 gait set trot/walk/bound closed-loop (trot has its own
+    stricter test below); VERDICT.md round-1 weak #6."""
+    x, _ = run_cascade(gait, v, 40)
+    assert np.all(x[:, 2] > min_z), f"{gait} fell (min z {x[:, 2].min():.3f})"
+    assert np.abs(x[:, 3:5]).max() < max_rp, f"{gait} attitude blew up"
+    assert x[-1, 0] > min_x, f"{gait}: no forward progress"
+
+
 def test_trot_walks_forward_without_falling():
     x, _ = run_cascade("trot", (0.3, 0.0, 0.0), 60)
     assert np.all(x[:, 2] > 0.15), "fell"
