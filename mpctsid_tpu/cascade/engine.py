@@ -149,7 +149,17 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
     mpc_sol = admm_solve(P, q_lin, A, l, u,
                          x0=ctl.mpc_warm_x, y0=ctl.mpc_warm_y,
                          iters=mpc_iters, adapt_rounds=mpc_rounds, rho=0.1)
-    new_plan = mpc_sol.x.reshape(cfg.mpc.horizon, 4, 3)
+    # Infeasible/diverged-QP policy (SURVEY.md §5.3): on a bad solve, carry
+    # the LAST FEASIBLE plan forward one period (shift columns, hold the
+    # tail) instead of adopting garbage, and keep the previous warm start.
+    # mpc_sol.ok is per-scenario under vmap, so one diverged scenario never
+    # poisons its own rollout (let alone the batch).
+    mpc_ok = mpc_sol.ok
+    plan_solved = mpc_sol.x.reshape(cfg.mpc.horizon, 4, 3)
+    plan_fallback = jnp.concatenate([ctl.f_plan[1:], ctl.f_plan[-1:]], axis=0)
+    new_plan = jnp.where(mpc_ok, plan_solved, plan_fallback)
+    mpc_warm_x = jnp.where(mpc_ok, mpc_sol.x, ctl.mpc_warm_x)
+    mpc_warm_y = jnp.where(mpc_ok, mpc_sol.y, ctl.mpc_warm_y)
 
     # WBC consumes the stale plan's column covering the current period
     f_used = ctl.f_plan[1] * contacts[:, None]
@@ -184,18 +194,31 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
             tree, cfg.wbc, q_t, v_t, refs,
             iters=wbc_iters, adapt_rounds=wbc_rounds,
             warm_x=wx, warm_y=wy)
-        tau_ff = jnp.clip(tau_ff, -cfg.wbc.tau_max, cfg.wbc.tau_max)
+        # WBC failure containment (SURVEY.md §5.3): a non-finite/diverged
+        # tick falls back to pure joint impedance toward the standing
+        # posture (safety-damping analog of the reference's QP-failure
+        # previous-plan policy) and keeps the previous warm start.
+        wbc_ok = wbc_sol.ok
+        tau_ff = jnp.where(wbc_ok,
+                           jnp.clip(tau_ff, -cfg.wbc.tau_max, cfg.wbc.tau_max),
+                           0.0)
+        qdd_j = jnp.where(wbc_ok, qdd[6:], 0.0)
         # joint-impedance actuator (oracle/cascade.py ActuatorCommand)
-        qd_des = v_t[6:] + qdd[6:] * wbc_dt
-        q_des = q_t[7:] + v_t[6:] * wbc_dt + 0.5 * qdd[6:] * wbc_dt**2
+        qd_des = jnp.where(wbc_ok, v_t[6:] + qdd_j * wbc_dt, 0.0)
+        q_des = jnp.where(
+            wbc_ok,
+            q_t[7:] + v_t[6:] * wbc_dt + 0.5 * qdd_j * wbc_dt**2,
+            jnp.asarray(model.q_stand, dtype))
         tau = jnp.clip(tau_ff + 6.0 * (q_des - plant.q[7:])
                        + 0.3 * (qd_des - plant.v[6:]),
                        -cfg.wbc.tau_max, cfg.wbc.tau_max)
         plant, f_ground = plant_step(tree, plant, tau, dt=wbc_dt,
                                      params=contact_params)
-        return (plant, est_s, wbc_sol.x, wbc_sol.y), (tau, f_ground)
+        wx = jnp.where(wbc_ok, wbc_sol.x, wx)
+        wy = jnp.where(wbc_ok, wbc_sol.y, wy)
+        return (plant, est_s, wx, wy), (tau, f_ground, wbc_ok)
 
-    (plant, est, wbc_wx, wbc_wy), (taus, f_grounds) = jax.lax.scan(
+    (plant, est, wbc_wx, wbc_wy), (taus, f_grounds, wbc_oks) = jax.lax.scan(
         tick, (plant, est, ctl.wbc_warm_x, ctl.wbc_warm_y),
         jnp.arange(mpc_every))
 
@@ -203,13 +226,16 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         phase=phase + 1,
         liftoff=liftoff, touchdown=touchdown, prev_contacts=contacts,
         f_plan=new_plan,
-        mpc_warm_x=mpc_sol.x, mpc_warm_y=mpc_sol.y,
+        mpc_warm_x=mpc_warm_x, mpc_warm_y=mpc_warm_y,
         wbc_warm_x=wbc_wx, wbc_warm_y=wbc_wy)
     metrics = {
         "x_srb": x_srb,
         "tau_rms": jnp.sqrt(jnp.mean(taus ** 2)),
         "fz_sum": f_grounds[..., 2].sum(axis=-1).mean(),
         "mpc_prim_res": mpc_sol.prim_res,
+        # per-scenario solve-status vector (SURVEY.md §5.3)
+        "mpc_ok": mpc_ok,
+        "wbc_ok_frac": wbc_oks.astype(dtype).mean(),
     }
     return new_ctl, plant, est, metrics
 

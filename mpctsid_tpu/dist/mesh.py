@@ -73,12 +73,23 @@ def sharded_cascade_rollout(cc: CascadeConfigured, mesh: Mesh, n_periods: int,
             "mean_mpc_prim_res": jax.lax.psum(
                 metrics["mpc_prim_res"].sum(), AXIS) / (
                     n_total * metrics["mpc_prim_res"].shape[1]),
+            # global convergence monitor: worst primal residual across every
+            # scenario on every chip (pmax of the per-shard residual block)
+            "max_mpc_prim_res": jax.lax.pmax(
+                metrics["mpc_prim_res"].max(), AXIS),
             "mean_tau_rms": jax.lax.psum(
                 metrics["tau_rms"].sum(), AXIS) / (
                     n_total * metrics["tau_rms"].shape[1]),
             "n_upright": jax.lax.psum(
                 (metrics["x_srb"][:, -1, 2] > 0.1).sum().astype(jnp.float32),
                 AXIS),
+            # failure-detection rollup (SURVEY.md §5.3): scenarios with any
+            # failed MPC solve, and the worst per-period WBC success fraction
+            "n_mpc_fail": jax.lax.psum(
+                jnp.any(~metrics["mpc_ok"], axis=1).sum().astype(jnp.float32),
+                AXIS),
+            "min_wbc_ok_frac": jax.lax.pmin(
+                metrics["wbc_ok_frac"].min(), AXIS),
             "n_total": n_total,
         }
         return ctl, plant, metrics, summary

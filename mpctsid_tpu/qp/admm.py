@@ -43,10 +43,16 @@ class QPSolution:
     z: jnp.ndarray          # (m,) projected constraint value
     prim_res: jnp.ndarray   # scalar, unscaled inf-norm
     dual_res: jnp.ndarray   # scalar, unscaled inf-norm
+    # Per-scenario solve status (SURVEY.md §5.3 failure detection): True when
+    # the returned x is finite and primal-feasible to `status_tol`.  Under
+    # vmap this is the per-scenario status VECTOR consumers use for the
+    # last-feasible-plan fallback (cascade/engine.py) — a diverged scenario
+    # must never silently poison its rollout.
+    ok: jnp.ndarray         # bool scalar
 
 
 jax.tree_util.register_dataclass(
-    QPSolution, data_fields=["x", "y", "z", "prim_res", "dual_res"],
+    QPSolution, data_fields=["x", "y", "z", "prim_res", "dual_res", "ok"],
     meta_fields=[])
 
 
@@ -122,7 +128,8 @@ def admm_solve(P, q, A, l, u,
                polish_kkt: bool = False,
                adapt_rounds: int = 1,
                backend: str = "xla",
-               backend_interpret: bool = False) -> QPSolution:
+               backend_interpret: bool = False,
+               status_tol: float = 0.05) -> QPSolution:
     """Fixed-iteration OSQP-style ADMM.  vmap-able; see module docstring."""
     n = P.shape[0]
     m = A.shape[0]
@@ -249,7 +256,9 @@ def admm_solve(P, q, A, l, u,
     z_u = jnp.clip(A0 @ x, l0, u0)
     prim = jnp.max(jnp.abs(A0 @ x - z_u)) if m else jnp.zeros((), dtype)
     dual = jnp.max(jnp.abs(P0 @ x + q0 + A0.T @ y))
-    return QPSolution(x=x, y=y, z=z_u, prim_res=prim, dual_res=dual)
+    ok = (jnp.all(jnp.isfinite(x)) & jnp.isfinite(prim)
+          & (prim < status_tol))
+    return QPSolution(x=x, y=y, z=z_u, prim_res=prim, dual_res=dual, ok=ok)
 
 
 def _polish(P, q, A, l, u, x, y, eq,

@@ -175,8 +175,12 @@ def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
     # inverse's parity on the ridge KKT at MXU-only cost (scripts/diag_wbc_mode:
     # mean torque err 0.18 vs 0.15 cold at 60 iters; warm starts in the cascade
     # bring both under the 2e-3 plant-state parity budget)
+    # status_tol 0.5: a cold-started fixed-iteration WBC solve legitimately
+    # sits at prim ~0.2 on the acceleration-scale constraint rows (m/s^2);
+    # the failure policy should only trip on divergence/non-finite solves
     sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
-                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1)
+                     iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
+                     status_tol=0.5)
     qdd = sol.x[:NV]
     f = sol.x[NV:]
     tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f
