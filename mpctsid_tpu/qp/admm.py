@@ -162,14 +162,6 @@ def admm_solve(P, q, A, l, u,
             # chol matches batched LU at 3e-4 on the same matrices).  Works
             # for both QP stages; the modes below are reference/fallbacks.
             K_inv = spd_inverse_chol(K, ns_steps=1)
-
-            def k_solve(rhs):
-                # one iterative-refinement step: squares the inverse's
-                # relative error (~1e-2 at cond 1e5 -> ~1e-4) for two extra
-                # matmuls — still MXU-only, and what closes the parity gap
-                # vs the LU inverse on the WBC ridge KKT (scripts/diag_kinv)
-                x_a = K_inv @ rhs
-                return x_a + K_inv @ (rhs - K @ x_a)
         elif mode == "inv":
             # Newton-Schulz inverse: matmul-only (MXU-friendly), unlike the
             # LU-based jnp.linalg.inv whose triangular solves serialize on TPU
@@ -181,27 +173,34 @@ def admm_solve(P, q, A, l, u,
             # warm-starting across rho changes can put ||I - X0 K|| > 1 and
             # NS then diverges to NaN.
             K_inv = _ns_inverse(K, iters=22)
-
-            def k_solve(rhs):
-                return K_inv @ rhs
         elif mode == "exact_inv":
             K_inv = jnp.linalg.inv(K)
-
-            def k_solve(rhs):
-                return K_inv @ rhs
         else:
+            K_inv = None
             L = jnp.linalg.cholesky(K)
 
             def k_solve(rhs):
                 t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
                 return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
 
+        if K_inv is not None:
+            def k_solve(rhs):  # noqa: F811
+                # one iterative-refinement step: squares the explicit
+                # inverse's relative error (~1e-2 at cond 1e5 -> ~1e-4) for
+                # two extra matmuls — still MXU-only, and what closes the
+                # parity gap vs an LU solve on the WBC ridge KKT
+                # (scripts/diag_kinv, scripts/diag_wbc_mode).  The Pallas
+                # kernel performs the identical refinement so both backends
+                # share a fixed point.
+                x_a = K_inv @ rhs
+                return x_a + K_inv @ (rhs - K @ x_a)
+
         if backend == "pallas" and mode in ("blockinv", "inv", "exact_inv"):
             # VMEM-resident iteration kernel (qp/pallas_kernels.py): each
-            # scenario's K^-1 and A are read from HBM once per block instead
-            # of once per iteration.
+            # scenario's K^-1, K and A are read from HBM once per block
+            # instead of once per iteration.
             from mpctsid_tpu.qp.pallas_kernels import admm_iterate
-            return admm_iterate(K_inv, A, q, l, u, rho_vec, x, z, y,
+            return admm_iterate(K_inv, K, A, q, l, u, rho_vec, x, z, y,
                                 iters=n_iters, sigma=sigma, alpha=alpha,
                                 interpret=backend_interpret)
 

@@ -29,10 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _admm_kernel(iters: int, sigma: float, alpha: float,
-                 kinv_ref, a_ref, q_ref, l_ref, u_ref, rho_ref, rho_inv_ref,
-                 x0_ref, z0_ref, y0_ref,
+                 kinv_ref, k_ref, a_ref, q_ref, l_ref, u_ref, rho_ref,
+                 rho_inv_ref, x0_ref, z0_ref, y0_ref,
                  x_out, z_out, y_out):
     K_inv = kinv_ref[:]          # (n, n)
+    K = k_ref[:]                 # (n, n)
     A = a_ref[:]                 # (m, n)
     q = q_ref[:]                 # (1, n)
     l = l_ref[:]                 # (1, m)
@@ -49,8 +50,19 @@ def _admm_kernel(iters: int, sigma: float, alpha: float,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)          # (1, n)
         rhs = sigma * x - q + atw
-        x_t = jax.lax.dot_general(
+        x_a = jax.lax.dot_general(
             rhs, K_inv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (1, n)
+        # one iterative-refinement step, matching qp/admm.py k_solve exactly
+        # (the refinement is part of the iteration's semantics; the two
+        # backends must share a fixed point)
+        r = rhs - jax.lax.dot_general(
+            x_a, K, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (1, n)
+        x_t = x_a + jax.lax.dot_general(
+            r, K_inv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)          # (1, n)
         z_t = jax.lax.dot_general(
@@ -72,12 +84,12 @@ def _admm_kernel(iters: int, sigma: float, alpha: float,
 
 @functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha",
                                              "interpret"))
-def admm_iterate(K_inv, A, q, l, u, rho_vec, x, z, y,
+def admm_iterate(K_inv, K, A, q, l, u, rho_vec, x, z, y,
                  iters: int = 25, sigma: float = 1e-6, alpha: float = 1.6,
                  interpret: bool = False):
     """Run `iters` ADMM updates with VMEM-resident matrices.
 
-    Single-sample shapes: K_inv (n,n), A (m,n), vectors (n,)/(m,).
+    Single-sample shapes: K_inv/K (n,n), A (m,n), vectors (n,)/(m,).
     vmap over a batch maps to the Pallas grid.  Returns (x, z, y)."""
     n = K_inv.shape[-1]
     m = A.shape[-2]
@@ -93,9 +105,9 @@ def admm_iterate(K_inv, A, q, l, u, rho_vec, x, z, y,
             jax.ShapeDtypeStruct((1, m), dtype),
             jax.ShapeDtypeStruct((1, m), dtype),
         ),
-        in_specs=[vspec() for _ in range(10)],
+        in_specs=[vspec() for _ in range(11)],
         out_specs=(vspec(), vspec(), vspec()),
         interpret=interpret,
-    )(K_inv, A, q[None, :], l[None, :], u[None, :], rho_vec[None, :],
+    )(K_inv, K, A, q[None, :], l[None, :], u[None, :], rho_vec[None, :],
       rho_inv[None, :], x[None, :], z[None, :], y[None, :])
     return x_o[0], z_o[0], y_o[0]

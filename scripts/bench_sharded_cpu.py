@@ -1,0 +1,62 @@
+"""Sharded-cascade benchmark on an 8-device virtual CPU mesh (config5 stand-in).
+
+Run by bench.py --full in a subprocess with
+XLA_FLAGS=--xla_force_host_platform_device_count=8.  No multi-chip hardware
+exists in this environment; this exercises the identical shard_map/psum path
+that spans ICI/DCN on a real slice (dist/mesh.py), at a CPU-sized batch.
+Prints one JSON line: {"ticks_per_s": N, "upright_frac": f, ...}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    assert len(jax.devices()) >= 8, jax.devices()
+    from bench import build_batch
+    from mpctsid_tpu.config import PRESETS
+    from mpctsid_tpu.dist import (scenario_mesh, shard_scenarios,
+                                  sharded_cascade_rollout)
+    import dataclasses
+
+    cfg = dataclasses.replace(PRESETS["config5_multihost_32k"], batch=256)
+    B = cfg.batch   # CPU-sized stand-in for the 32k contract point
+    cc, args = build_batch(cfg, B)
+    mesh = scenario_mesh(8)
+    args = shard_scenarios(mesh, args)
+
+    def run(n):
+        f = sharded_cascade_rollout(cc, mesh, n_periods=n)
+        ctl, plant, metrics, summary = f(*args)
+        return summary
+
+    s1 = jax.tree_util.tree_map(np.asarray, run(1))     # compile + warm
+    t0 = time.time()
+    s1 = jax.tree_util.tree_map(np.asarray, run(1))
+    t1 = time.time() - t0
+    t0 = time.time()
+    s3 = jax.tree_util.tree_map(np.asarray, run(3))
+    t3 = time.time() - t0
+    per_period = max((t3 - t1) / 2, 1e-9)
+    ticks_per_s = B * cfg.cascade.mpc_every / per_period
+    print(json.dumps({
+        "ticks_per_s": round(ticks_per_s, 1),
+        "batch": B,
+        "n_devices": 8,
+        "upright_frac": round(float(s3["n_upright"] / s3["n_total"]), 4),
+        "max_mpc_prim_res": float(s3["max_mpc_prim_res"]),
+        "n_mpc_fail": float(s3["n_mpc_fail"]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,28 +1,95 @@
 """Multi-device sharding on a virtual 8-device CPU mesh (SURVEY.md §4.5).
 
-Runs in a subprocess because --xla_force_host_platform_device_count must be
+Runs in subprocesses because --xla_force_host_platform_device_count must be
 set before jax initializes (and slows every other test's compiles if set
 globally — see conftest.py)."""
 
 import os
 import subprocess
 import sys
+import textwrap
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_dryrun_multichip_8():
+def run_sub(code, timeout=600):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
-    code = (
-        "import jax; jax.config.update('jax_platforms', 'cpu');"
-        "import __graft_entry__ as g; g.dryrun_multichip(8)"
-    )
     out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                         capture_output=True, text=True, timeout=480)
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert "OK" in out.stdout
-    assert "16 upright" in out.stdout, out.stdout
+                         capture_output=True, text=True, timeout=timeout)
+    assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
+    return out.stdout
+
+
+def test_dryrun_multichip_8():
+    out = run_sub(
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    assert "OK" in out
+    assert "16 upright" in out, out
+
+
+SHARDED_VS_UNSHARDED = textwrap.dedent("""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import functools
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bench import build_batch
+    from mpctsid_tpu.cascade import cascade_rollout
+    from mpctsid_tpu.config import EngineConfig
+    from mpctsid_tpu.dist import (scenario_mesh, shard_scenarios,
+                                  sharded_cascade_rollout)
+
+    cfg = EngineConfig(gait="trot", v_ref=(0.25, 0.0, 0.0))
+    B = 16
+    cc, args = build_batch(cfg, B, gait_mix=["trot", "walk"], mu_spread=True)
+
+    mesh = scenario_mesh(8)
+    s_args = shard_scenarios(mesh, args)
+
+    # strict single-period parity: sharding may only introduce matmul
+    # reduction-order noise (measured 1.2e-4 on plant q)
+    f1 = jax.jit(jax.vmap(functools.partial(cascade_rollout, cc,
+                                            n_periods=1)))
+    _, plant_u1, _ = f1(*args)
+    _, plant_s1, _, _ = sharded_cascade_rollout(cc, mesh, n_periods=1)(
+        *s_args)
+    dq1 = np.abs(np.asarray(plant_s1.q) - np.asarray(plant_u1.q)).max()
+    assert dq1 < 1e-3, dq1
+
+    # 3-period parity: the closed loop amplifies f32 noise through contact
+    # switches (measured growth 1e-4 -> 3e-3 over 3 periods); budget bounds
+    # the amplification, it cannot demand bitwise equality
+    f = jax.jit(jax.vmap(functools.partial(cascade_rollout, cc,
+                                           n_periods=3)))
+    ctl_u, plant_u, met_u = f(*args)
+    run = sharded_cascade_rollout(cc, mesh, n_periods=3)
+    ctl_s, plant_s, met_s, summary = run(*s_args)
+
+    dq = np.abs(np.asarray(plant_s.q) - np.asarray(plant_u.q)).max()
+    dx = np.abs(np.asarray(met_s["x_srb"]) - np.asarray(met_u["x_srb"])).max()
+    assert dq < 0.05, dq
+    assert dx < 0.10, dx
+    # the psum/pmax summary must agree with host-side reductions
+    x = np.asarray(met_u["x_srb"])
+    n_up = float((x[:, -1, 2] > 0.1).sum())
+    assert abs(float(np.asarray(summary["n_upright"])) - n_up) <= 1.0
+    assert float(np.asarray(summary["n_total"])) == B
+    mx = float(np.asarray(met_u["mpc_prim_res"]).max())
+    ms = float(np.asarray(summary["max_mpc_prim_res"]))
+    assert abs(ms - mx) < max(0.1 * abs(mx), 1e-4), (ms, mx)
+    print("SHARDED-PARITY-OK", dq, dx)
+""")
+
+
+def test_sharded_matches_unsharded():
+    """VERDICT.md round-1 weak #7: multi-device numerical equivalence, not
+    just plumbing — sharded vs unsharded rollouts of the same mixed-gait,
+    mu-spread batch must agree, and the psum summary must match host math."""
+    out = run_sub(SHARDED_VS_UNSHARDED, timeout=900)
+    assert "SHARDED-PARITY-OK" in out
