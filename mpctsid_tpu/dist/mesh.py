@@ -12,6 +12,16 @@ scenario axis inside `shard_map`.
 Multi-host: call jax.distributed.initialize() before building the mesh; the
 same code path then spans hosts (DCN) and chips (ICI).  Tested on a virtual
 8-device CPU mesh (tests/test_dist.py; SURVEY.md §4.5).
+
+Deliberate non-feature: NO collectives inside the QP solves themselves.
+Scenarios are independent optimization problems — a cross-chip reduction
+inside the ADMM loop (e.g. globally-pooled rho adaptation) would couple their
+convergence for zero algorithmic benefit and serialize every iteration on the
+slowest chip's collective.  The contract's "psum/all-gather reductions of QP
+residual blocks over ICI" (BASELINE.json:5) is realized where it has value:
+the per-period residual-block summaries below (psum means, pmax worst-case,
+failure counts), which is the global convergence monitor a Monte-Carlo
+operator actually consumes.
 """
 
 from __future__ import annotations
