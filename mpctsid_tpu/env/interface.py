@@ -16,8 +16,10 @@ protocol exists for single-robot host-loop deployment
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Protocol, runtime_checkable
 
+import jax
 import jax.numpy as jnp
 
 from mpctsid_tpu.env.plant import ContactParams, PlantState, plant_step
@@ -53,18 +55,21 @@ class SimPlant:
 
     def __init__(self, tree: KinematicTree, q0: jnp.ndarray,
                  params: ContactParams | None = None, dt: float = 1e-3):
+        from mpctsid_tpu.est.filter import imu_from_plant
         self.tree = tree
         self.state = PlantState.init(q0)
         self.params = params or ContactParams.default()
         self.dt = dt
+        # jit once: a host loop calling these eagerly pays per-op dispatch
+        # (~300 ms/tick on CPU) instead of one compiled program (~1 ms)
+        self._step = jax.jit(functools.partial(plant_step, tree, dt=dt))
+        self._imu = jax.jit(functools.partial(imu_from_plant, tree))
 
     def read(self) -> Sensors:
-        from mpctsid_tpu.est.filter import imu_from_plant
         q, v = self.state.q, self.state.v
-        gyro, accel = imu_from_plant(self.tree, q, v)
+        gyro, accel = self._imu(q, v)
         return Sensors(q=q, v=v, gyro=gyro, accel=accel,
                        q_joints=q[7:], qd_joints=v[6:])
 
     def apply(self, tau: jnp.ndarray) -> None:
-        self.state, _ = plant_step(self.tree, self.state, tau,
-                                   dt=self.dt, params=self.params)
+        self.state, _ = self._step(self.state, tau, params=self.params)
