@@ -35,6 +35,12 @@ import subprocess
 import sys
 import time
 
+# Persistent compile cache: the remote-TPU (axon tunnel) XLA/Mosaic compile of
+# the fused cascade takes minutes cold; cached reruns are seconds.  Must be set
+# before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import numpy as np
 
 import jax

@@ -38,6 +38,25 @@ class Sensors:
     qd_joints: jnp.ndarray  # (12,)
 
 
+# Module-level jit cache keyed on (id(tree), dt): constructing many SimPlants
+# over the same tree (MC sweeps, tests) must not recompile plant_step/imu per
+# instance (ADVICE.md round 2).  The entry holds a strong ref to the tree so
+# its id can never be recycled while the cache entry lives.
+_JIT_CACHE: dict = {}
+
+
+def _jitted_for(tree: KinematicTree, dt: float):
+    from mpctsid_tpu.est.filter import imu_from_plant
+    key = (id(tree), float(dt))
+    hit = _JIT_CACHE.get(key)
+    if hit is None or hit[0] is not tree:
+        hit = (tree,
+               jax.jit(functools.partial(plant_step, tree, dt=dt)),
+               jax.jit(functools.partial(imu_from_plant, tree)))
+        _JIT_CACHE[key] = hit
+    return hit[1], hit[2]
+
+
 @runtime_checkable
 class Plant(Protocol):
     """One robot (or one simulated robot) driven at the WBC rate.
@@ -55,15 +74,14 @@ class SimPlant:
 
     def __init__(self, tree: KinematicTree, q0: jnp.ndarray,
                  params: ContactParams | None = None, dt: float = 1e-3):
-        from mpctsid_tpu.est.filter import imu_from_plant
         self.tree = tree
         self.state = PlantState.init(q0)
         self.params = params or ContactParams.default()
         self.dt = dt
-        # jit once: a host loop calling these eagerly pays per-op dispatch
-        # (~300 ms/tick on CPU) instead of one compiled program (~1 ms)
-        self._step = jax.jit(functools.partial(plant_step, tree, dt=dt))
-        self._imu = jax.jit(functools.partial(imu_from_plant, tree))
+        # jit once PER (tree, dt), not per instance: a host loop calling these
+        # eagerly pays per-op dispatch (~300 ms/tick on CPU) instead of one
+        # compiled program (~1 ms), and bulk construction shares the cache
+        self._step, self._imu = _jitted_for(tree, dt)
 
     def read(self) -> Sensors:
         q, v = self.state.q, self.state.v

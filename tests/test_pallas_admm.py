@@ -99,8 +99,12 @@ def test_pallas_tpu_matches_xla():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS",)}
+    # the remote-TPU Mosaic compile of the kernel can take ~20 min cold; the
+    # persistent compilation cache (set below) makes reruns seconds
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_compile_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     r = subprocess.run([sys.executable, "-c", _TPU_SCRIPT % root],
-                       capture_output=True, text=True, timeout=900, env=env)
+                       capture_output=True, text=True, timeout=1800, env=env)
     if r.returncode != 0 and ("tpu" in r.stderr.lower()
                               or "AssertionError" in r.stderr):
         pytest.skip(f"no TPU reachable: {r.stderr[-200:]}")
