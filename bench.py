@@ -246,7 +246,11 @@ def _pallas_vs_xla(B=1024, iters=100):
 
     out = {}
     for backend in ["xla", "pallas"]:
-        def make_run(n, backend=backend):
+        # the batch is passed as ARGUMENTS, not jit-closure constants: 1024
+        # embedded KKT matrices (~150 MB of HLO literals) exceed the tunneled
+        # remote-compile payload limit (HTTP 413)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(Ps, qs, As, ls, us, n, backend=backend):
             def body(carry, _):
                 x_p, y_p = carry
                 sol = jax.vmap(lambda P, q, A, l, u, x0, y0: admm_solve(
@@ -255,14 +259,13 @@ def _pallas_vs_xla(B=1024, iters=100):
                     backend=backend))(Ps, qs, As, ls, us, x_p, y_p)
                 return (sol.x, sol.y), ()
 
-            @jax.jit
-            def run():
-                (x, _), _ = jax.lax.scan(
-                    body, (jnp.zeros_like(qs), jnp.zeros_like(ls)), None,
-                    length=n)
-                return x.sum()
+            (x, _), _ = jax.lax.scan(
+                body, (jnp.zeros_like(qs), jnp.zeros_like(ls)), None,
+                length=n)
+            return x.sum()
 
-            return run
+        def make_run(n, run=run):
+            return lambda: run(Ps, qs, As, ls, us, n=n)
 
         per_solve = diff_time(make_run, 1, 4, reps=3) / B
         out[backend] = per_solve

@@ -113,7 +113,8 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    contact_params: ContactParams,
                    est=None, use_estimator: bool = False,
                    mpc_iters: int = 100, mpc_rounds: int = 4,
-                   wbc_iters: int = 60, wbc_rounds: int = 3):
+                   wbc_iters: int = 60, wbc_rounds: int = 3,
+                   qp_backend: str = "xla"):
     """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks.
 
     With use_estimator=True, the controller consumes the complementary-filter
@@ -148,7 +149,8 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                                      cont_h)
     mpc_sol = admm_solve(P, q_lin, A, l, u,
                          x0=ctl.mpc_warm_x, y0=ctl.mpc_warm_y,
-                         iters=mpc_iters, adapt_rounds=mpc_rounds, rho=0.1)
+                         iters=mpc_iters, adapt_rounds=mpc_rounds, rho=0.1,
+                         backend=qp_backend)
     # Infeasible/diverged-QP policy (SURVEY.md §5.3): on a bad solve, carry
     # the LAST FEASIBLE plan forward one period (shift columns, hold the
     # tail) instead of adopting garbage, and keep the previous warm start.
@@ -193,7 +195,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         tau_ff, qdd, f_wbc, wbc_sol = solve_wbc(
             tree, cfg.wbc, q_t, v_t, refs,
             iters=wbc_iters, adapt_rounds=wbc_rounds,
-            warm_x=wx, warm_y=wy)
+            warm_x=wx, warm_y=wy, backend=qp_backend)
         # WBC failure containment (SURVEY.md §5.3): a non-finite/diverged
         # tick falls back to pure joint impedance toward the standing
         # posture (safety-damping analog of the reference's QP-failure

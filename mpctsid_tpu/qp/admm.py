@@ -130,7 +130,15 @@ def admm_solve(P, q, A, l, u,
                backend: str = "xla",
                backend_interpret: bool = False,
                status_tol: float = 0.05) -> QPSolution:
-    """Fixed-iteration OSQP-style ADMM.  vmap-able; see module docstring."""
+    """Fixed-iteration OSQP-style ADMM.  vmap-able; see module docstring.
+
+    backend="auto" resolves to the Pallas iteration kernel on TPU (VMEM-
+    resident matrices; see qp/pallas_kernels.py) and to plain XLA elsewhere
+    (CPU/interpret parity path).  Resolution happens at trace time, so the
+    choice is baked into the compiled program.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     n = P.shape[0]
     m = A.shape[0]
     dtype = P.dtype

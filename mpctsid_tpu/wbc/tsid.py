@@ -168,7 +168,7 @@ def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
 @f32_matmuls
 def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
               iters: int = 60, adapt_rounds: int = 3,
-              warm_x=None, warm_y=None):
+              warm_x=None, warm_y=None, backend: str = "xla"):
     """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution)."""
     H, g, A, l, u, M, h, JcT = build_wbc_qp(tree, cfg, q, v, refs)
     # blockinv + in-iteration refinement (qp/admm.py k_solve) matches the LU
@@ -180,7 +180,7 @@ def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
     # the failure policy should only trip on divergence/non-finite solves
     sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
                      iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
-                     status_tol=0.5)
+                     status_tol=0.5, backend=backend)
     qdd = sol.x[:NV]
     f = sol.x[NV:]
     tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f
