@@ -114,7 +114,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    est=None, use_estimator: bool = False,
                    mpc_iters: int = 100, mpc_rounds: int = 4,
                    wbc_iters: int = 60, wbc_rounds: int = 3,
-                   qp_backend: str = "xla"):
+                   mpc_backend: str = "auto", wbc_backend: str = "xla"):
     """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks.
 
     With use_estimator=True, the controller consumes the complementary-filter
@@ -147,10 +147,15 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                         for k in range(cfg.mpc.horizon)])
     P, q_lin, A, l, u = build_mpc_qp(model, cfg.mpc, x_srb, x_ref, fsteps,
                                      cont_h)
+    # MPC backend: "auto" resolves to the Pallas iteration kernel on TPU
+    # (VMEM-resident K^-1/K/A; measured 276 -> 224 ms per B=1024 solve batch
+    # vs XLA, scripts/profile_components.py).  The WBC stage defaults to XLA:
+    # its 30-var matrices are too small for the per-scenario kernel (grid
+    # overhead measured 9x slower than XLA's batched GEMVs).
     mpc_sol = admm_solve(P, q_lin, A, l, u,
                          x0=ctl.mpc_warm_x, y0=ctl.mpc_warm_y,
                          iters=mpc_iters, adapt_rounds=mpc_rounds, rho=0.1,
-                         backend=qp_backend)
+                         backend=mpc_backend)
     # Infeasible/diverged-QP policy (SURVEY.md §5.3): on a bad solve, carry
     # the LAST FEASIBLE plan forward one period (shift columns, hold the
     # tail) instead of adopting garbage, and keep the previous warm start.
@@ -195,7 +200,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         tau_ff, qdd, f_wbc, wbc_sol = solve_wbc(
             tree, cfg.wbc, q_t, v_t, refs,
             iters=wbc_iters, adapt_rounds=wbc_rounds,
-            warm_x=wx, warm_y=wy, backend=qp_backend)
+            warm_x=wx, warm_y=wy, backend=wbc_backend)
         # WBC failure containment (SURVEY.md §5.3): a non-finite/diverged
         # tick falls back to pure joint impedance toward the standing
         # posture (safety-damping analog of the reference's QP-failure

@@ -132,13 +132,15 @@ def admm_solve(P, q, A, l, u,
                status_tol: float = 0.05) -> QPSolution:
     """Fixed-iteration OSQP-style ADMM.  vmap-able; see module docstring.
 
-    backend="auto" resolves to the Pallas iteration kernel on TPU (VMEM-
-    resident matrices; see qp/pallas_kernels.py) and to plain XLA elsewhere
-    (CPU/interpret parity path).  Resolution happens at trace time, so the
-    choice is baked into the compiled program.
+    backend="auto" resolves to the Pallas VPU iteration kernel on TPU (VMEM-
+    resident matrices + broadcast-multiply-reduce matvecs; measured 276 -> 192
+    ms per B=1024 100-iter MPC solve batch vs XLA and 224 ms for the MXU-dot
+    kernel) and to plain XLA elsewhere (CPU/interpret parity path).
+    Resolution happens at trace time, so the choice is baked into the
+    compiled program.
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas_vpu" if jax.default_backend() == "tpu" else "xla"
     n = P.shape[0]
     m = A.shape[0]
     dtype = P.dtype
@@ -203,14 +205,19 @@ def admm_solve(P, q, A, l, u,
                 x_a = K_inv @ rhs
                 return x_a + K_inv @ (rhs - K @ x_a)
 
-        if backend == "pallas" and mode in ("blockinv", "inv", "exact_inv"):
+        if backend in ("pallas", "pallas_vpu") and mode in (
+                "blockinv", "inv", "exact_inv"):
             # VMEM-resident iteration kernel (qp/pallas_kernels.py): each
             # scenario's K^-1, K and A are read from HBM once per block
-            # instead of once per iteration.
-            from mpctsid_tpu.qp.pallas_kernels import admm_iterate
-            return admm_iterate(K_inv, K, A, q, l, u, rho_vec, x, z, y,
-                                iters=n_iters, sigma=sigma, alpha=alpha,
-                                interpret=backend_interpret)
+            # instead of once per iteration.  "pallas_vpu" additionally
+            # replaces the M=1 MXU dots (weight-load bound) with VPU
+            # broadcast-multiply-reductions over the symmetric K/K_inv.
+            from mpctsid_tpu.qp.pallas_kernels import (admm_iterate,
+                                                       admm_iterate_vpu)
+            fn = admm_iterate_vpu if backend == "pallas_vpu" else admm_iterate
+            return fn(K_inv, K, A, q, l, u, rho_vec, x, z, y,
+                      iters=n_iters, sigma=sigma, alpha=alpha,
+                      interpret=backend_interpret)
 
         def body(_, carry):
             x, z, y = carry
