@@ -118,36 +118,32 @@ def build_mpc_qp(model: Solo12Model, cfg: MpcConfig, x0, x_ref, feet, contacts):
     N = cfg.horizon
     dtype = x0.dtype
 
-    A_ks, B_ks, c_ks = [], [], []
-    for k in range(N):
-        A_k, B_k, c_k = srb_discrete(model, cfg, x_ref[k, 5], feet[k],
-                                     x_ref[k, 0:3])
-        A_ks.append(A_k)
-        B_ks.append(B_k)
-        c_ks.append(c_k)
+    # all N one-step models in one batched op (vmap over the horizon index)
+    A_ks, B_ks, c_ks = jax.vmap(
+        lambda yaw, ft, pr: srb_discrete(model, cfg, yaw, ft, pr))(
+            x_ref[:, 5], feet, x_ref[:, 0:3])          # (N,12,12)(N,12,12)(N,12)
 
-    # condensation, unrolled: Sx rows (N,12,12); Su (N,N,12,12); Sc (N,12)
-    Sx_rows, Sc_rows = [], []
-    Su_rows = []  # each: list of N (12,12) blocks
-    for k in range(N):
-        if k == 0:
-            Sx_rows.append(A_ks[0])
-            Sc_rows.append(c_ks[0])
-            row = [jnp.zeros((NX, NU), dtype) for _ in range(N)]
-            row[0] = B_ks[0]
-        else:
-            Sx_rows.append(A_ks[k] @ Sx_rows[k - 1])
-            Sc_rows.append(A_ks[k] @ Sc_rows[k - 1] + c_ks[k])
-            prev = Su_rows[k - 1]
-            row = [A_ks[k] @ prev[j] for j in range(k)] + [
-                jnp.zeros((NX, NU), dtype) for _ in range(N - k)]
-            row[k] = B_ks[k]
-        Su_rows.append(row)
+    # condensation as a scan over the horizon: each step is ONE row-level
+    # matmul (12,12)@(12,12N) instead of k block-level (12,12)@(12,12)
+    # matmuls — 16 batched ops total, not N(N+1)/2 = 136 (the unrolled block
+    # form measured 33 ms per period at B=1024, dominated by op-launch/HBM
+    # latency of tiny matmuls).
+    def cond_step(carry, inp):
+        Sx_p, Sc_p, Su_p = carry                        # (12,12),(12,),(12,12N)
+        A_k, B_k, c_k, k = inp
+        Sx_k = A_k @ Sx_p
+        Sc_k = A_k @ Sc_p + c_k
+        Su_k = A_k @ Su_p
+        Su_k = jax.lax.dynamic_update_slice(Su_k, B_k, (0, k * NU))
+        return (Sx_k, Sc_k, Su_k), (Sx_k, Sc_k, Su_k)
 
-    Su = jnp.concatenate(
-        [jnp.concatenate(row, axis=1) for row in Su_rows], axis=0)  # (12N,12N)
-    Sx = jnp.concatenate(Sx_rows, axis=0)                            # (12N,12)
-    Sc = jnp.concatenate(Sc_rows, axis=0)                            # (12N,)
+    init = (jnp.eye(NX, dtype=dtype), jnp.zeros(NX, dtype),
+            jnp.zeros((NX, N * NU), dtype))
+    _, (Sx_r, Sc_r, Su_r) = jax.lax.scan(
+        cond_step, init, (A_ks, B_ks, c_ks, jnp.arange(N)))
+    Su = Su_r.reshape(N * NX, N * NU)                    # (12N,12N)
+    Sx = Sx_r.reshape(N * NX, NX)                        # (12N,12)
+    Sc = Sc_r.reshape(N * NX)                            # (12N,)
 
     q_diag = jnp.tile(jnp.asarray(cfg.q_diag, dtype), N)
     P = Su.T @ (q_diag[:, None] * Su) + cfg.w_force * jnp.eye(N * NU, dtype=dtype)

@@ -115,7 +115,8 @@ def ruiz_equilibrate(P, q, A, l, u, iters: int = 8):
 @f32_matmuls
 @partial(jax.jit, static_argnames=("iters", "mode", "equilibrate_iters",
                                    "polish_kkt", "adapt_rounds", "backend",
-                                   "backend_interpret"))
+                                   "backend_interpret",
+                                   "rho", "sigma", "alpha", "rho_eq_scale"))
 def admm_solve(P, q, A, l, u,
                x0=None, y0=None,
                iters: int = 60,
@@ -146,6 +147,32 @@ def admm_solve(P, q, A, l, u,
     dtype = P.dtype
 
     P0, q0, A0, l0, u0 = P, q, A, l, u
+
+    if backend == "fused":
+        # One pallas_call per solve: Ruiz + K assembly + blocked-Cholesky
+        # inverse + all iterations + rho adaptation fused on VMEM-resident
+        # data (qp/pallas_kernels.py _admm_fused_kernel).  The XLA path of a
+        # WBC-sized solve is ~320 tiny device ops and is launch/copy bound.
+        from mpctsid_tpu.qp.pallas_kernels import admm_solve_fused
+        eqf = (((u0 - l0) < 1e-9)).astype(dtype)
+        xs, ys, D, E, c = admm_solve_fused(
+            P, q, A, l, u, eqf,
+            jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype),
+            jnp.zeros(m, dtype) if y0 is None else y0.astype(dtype),
+            iters=iters, adapt_rounds=adapt_rounds,
+            equilibrate_iters=equilibrate_iters, rho0=rho, sigma=sigma,
+            alpha=alpha, rho_eq_scale=rho_eq_scale, inf=INF,
+            interpret=backend_interpret)
+        x = D * xs
+        y = E * ys / c
+        z_u = jnp.clip(A0 @ x, l0, u0)
+        prim = jnp.max(jnp.abs(A0 @ x - z_u)) if m else jnp.zeros((), dtype)
+        dual = jnp.max(jnp.abs(P0 @ x + q0 + A0.T @ y))
+        ok = (jnp.all(jnp.isfinite(x)) & jnp.isfinite(prim)
+              & (prim < status_tol))
+        return QPSolution(x=x, y=y, z=z_u, prim_res=prim, dual_res=dual,
+                          ok=ok)
+
     P, q, A, l, u, D, E, c = ruiz_equilibrate(P, q, A, l, u, equilibrate_iters)
 
     eq = (u0 - l0) < 1e-9
@@ -205,16 +232,21 @@ def admm_solve(P, q, A, l, u,
                 x_a = K_inv @ rhs
                 return x_a + K_inv @ (rhs - K @ x_a)
 
-        if backend in ("pallas", "pallas_vpu") and mode in (
+        if backend in ("pallas", "pallas_vpu", "pallas_packed") and mode in (
                 "blockinv", "inv", "exact_inv"):
             # VMEM-resident iteration kernel (qp/pallas_kernels.py): each
             # scenario's K^-1, K and A are read from HBM once per block
             # instead of once per iteration.  "pallas_vpu" additionally
             # replaces the M=1 MXU dots (weight-load bound) with VPU
-            # broadcast-multiply-reductions over the symmetric K/K_inv.
+            # broadcast-multiply-reductions over the symmetric K/K_inv;
+            # "pallas_packed" further packs G scenarios per grid step via
+            # custom_vmap (best for tiny WBC-sized matrices).
             from mpctsid_tpu.qp.pallas_kernels import (admm_iterate,
+                                                       admm_iterate_packed,
                                                        admm_iterate_vpu)
-            fn = admm_iterate_vpu if backend == "pallas_vpu" else admm_iterate
+            fn = {"pallas": admm_iterate,
+                  "pallas_vpu": admm_iterate_vpu,
+                  "pallas_packed": admm_iterate_packed}[backend]
             return fn(K_inv, K, A, q, l, u, rho_vec, x, z, y,
                       iters=n_iters, sigma=sigma, alpha=alpha,
                       interpret=backend_interpret)

@@ -167,6 +167,479 @@ def admm_iterate_vpu(K_inv, K, A, q, l, u, rho_vec, x, z, y,
     return x_o[0], z_o[:, 0], y_o[:, 0]
 
 
+def _admm_kernel_vpu_packed(iters: int, sigma: float, alpha: float,
+                            kinv_ref, k_ref, a_ref, q_ref, l_ref, u_ref,
+                            rho_ref, rho_inv_ref, x0_ref, z0_ref, y0_ref,
+                            x_out, z_out, y_out):
+    """G-packed VPU iteration: one grid step advances G scenarios at once.
+
+    Same math as _admm_kernel_vpu with a leading scenario axis.  Why packing:
+    with one scenario per grid step the fixed per-step cost (DMA issue, loop
+    control) dominates for the tiny WBC matrices (n=30: measured 38 ms vs
+    XLA's 4 ms at B=1024).  Packing G scenarios amortizes that cost and gives
+    the VPU full (G*m, n)-shaped elementwise work per op, while HBM still
+    sees each matrix exactly once per solve (vs once per iteration on the
+    XLA path)."""
+    K_inv = kinv_ref[:]          # (G, n, n) symmetric per scenario
+    K = k_ref[:]                 # (G, n, n)
+    A = a_ref[:]                 # (G, m, n)
+    q = q_ref[:]                 # (G, 1, n)
+    l = l_ref[:]                 # (G, 1, m)
+    u = u_ref[:]                 # (G, 1, m)
+    rho = rho_ref[:]             # (G, 1, m)
+    rho_inv = rho_inv_ref[:]     # (G, 1, m)
+
+    # All VECTORS live as (G, 1, dim) rows: a (dim, 1) column tile pads its
+    # lane axis 1 -> 128 (128x VMEM waste; the first packed layout OOM'd the
+    # 16 MB scoped VMEM at G=128).  The price is three small vector
+    # transposes per iteration, which relayout (G, 1, d) <-> (G, d, 1).
+    def body(_, carry):
+        x, z, y = carry          # (G, 1, n), (G, 1, m), (G, 1, m)
+        w = jnp.swapaxes(rho * z - y, 1, 2)                    # (G, m, 1)
+        atw = jnp.sum(A * w, axis=1, keepdims=True)            # (G, 1, n)
+        rhs = sigma * x - q + atw
+        x_a = jnp.sum(K_inv * rhs, axis=2, keepdims=True)      # (G, n, 1)
+        kxa = jnp.sum(K * x_a, axis=1, keepdims=True)          # (G, 1, n)
+        r = rhs - kxa
+        corr = jnp.sum(K_inv * r, axis=2, keepdims=True)       # (G, n, 1)
+        x_t = jnp.swapaxes(x_a + corr, 1, 2)                   # (G, 1, n)
+        z_t = jnp.swapaxes(
+            jnp.sum(A * x_t, axis=2, keepdims=True), 1, 2)     # (G, 1, m)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_r = alpha * z_t + (1.0 - alpha) * z
+        z_n = jnp.clip(z_r + rho_inv * y, l, u)
+        y_n = y + rho * (z_r - z_n)
+        return x_n, z_n, y_n
+
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[:], z0_ref[:], y0_ref[:]))
+    x_out[:] = x
+    z_out[:] = z
+    y_out[:] = y
+
+
+def _pad_bytes(r: int, c: int) -> int:
+    """f32 bytes of an (r, c) tile after (8, 128) tiling."""
+    return 4 * (-(-r // 8) * 8) * (-(-c // 128) * 128)
+
+
+def _pick_g(n: int, m: int, budget_bytes: int = 3 << 20) -> int:
+    """Scenarios per grid step: fill ~3 MB of PADDED VMEM per step (the
+    Mosaic scoped-VMEM limit is 16 MB and covers inputs, outputs, carries and
+    iteration temporaries; padding to (8, 128) tiles is what actually counts,
+    not logical element counts)."""
+    per = (2 * _pad_bytes(n, n)          # K_inv, K
+           + _pad_bytes(m, n)            # A
+           + 9 * _pad_bytes(1, m)        # row vectors l,u,rho,rho_inv,z,y(x2 io)
+           + 4 * _pad_bytes(1, n)        # q, x
+           + 2 * _pad_bytes(m, 1)        # column temporaries w, z_t
+           + _pad_bytes(n, 1)            # x_a/corr temporary
+           + _pad_bytes(m, n)            # A*w product temporary
+           + _pad_bytes(n, n))           # K*rhs product temporary
+    g = max(1, budget_bytes // per)
+    p = 1
+    while p * 2 <= g:
+        p *= 2
+    return min(p, 256)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha", "g",
+                                             "interpret"))
+def admm_iterate_vpu_packed(K_inv, K, A, q, l, u, rho_vec, x, z, y,
+                            iters: int, sigma: float, alpha: float, g: int,
+                            interpret: bool = False):
+    """Batched packed iteration: inputs carry a leading batch axis (B, ...).
+
+    Runs grid=(ceil(B/g),) with g scenarios resident per step; B is padded to
+    a multiple of g with inert scenarios (K_inv = 0, l = u = 0 -> the padded
+    lanes compute zeros).  Returns (x (B,n), z (B,m), y (B,m))."""
+    B = K_inv.shape[0]
+    n = K_inv.shape[-1]
+    m = A.shape[-2]
+    dtype = K_inv.dtype
+    rho_inv_vec = 1.0 / rho_vec
+
+    Bp = -(-B // g) * g
+    if Bp != B:
+        pad = lambda a, fill=0.0: jnp.concatenate(  # noqa: E731
+            [a, jnp.full((Bp - B,) + a.shape[1:], fill, a.dtype)], axis=0)
+        K_inv, K, A, q, x = (pad(K_inv), pad(K), pad(A), pad(q), pad(x))
+        l, u, z, y = pad(l), pad(u), pad(z), pad(y)
+        rho_vec, rho_inv_vec = pad(rho_vec, 1.0), pad(rho_inv_vec, 1.0)
+
+    kern = functools.partial(_admm_kernel_vpu_packed, iters, sigma, alpha)
+    mat = lambda s: pl.BlockSpec((g,) + s, lambda i: (i, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    row = lambda v: v[:, None, :]  # noqa: E731
+    x_o, z_o, y_o = pl.pallas_call(
+        kern,
+        grid=(Bp // g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1, n), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, m), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, m), dtype),
+        ),
+        in_specs=[mat((n, n)), mat((n, n)), mat((m, n)), mat((1, n)),
+                  mat((1, m)), mat((1, m)), mat((1, m)), mat((1, m)),
+                  mat((1, n)), mat((1, m)), mat((1, m))],
+        out_specs=(mat((1, n)), mat((1, m)), mat((1, m))),
+        interpret=interpret,
+    )(K_inv, K, A, row(q), row(l), row(u), row(rho_vec), row(rho_inv_vec),
+      row(x), row(z), row(y))
+    return x_o[:B, 0, :], z_o[:B, 0, :], y_o[:B, 0, :]
+
+
+_PACKED_CACHE: dict = {}
+
+
+def admm_iterate_packed(K_inv, K, A, q, l, u, rho_vec, x, z, y,
+                        iters: int = 25, sigma: float = 1e-6,
+                        alpha: float = 1.6, interpret: bool = False):
+    """custom_vmap front: per-sample VPU kernel when unbatched; the G-packed
+    grid kernel when vmapped over a scenario batch.  This is what lets the
+    cascade's single per-scenario vmap reach a kernel that processes many
+    scenarios per grid step (a plain vmap of pallas_call always maps one
+    scenario to one grid step)."""
+    key = (int(iters), float(sigma), float(alpha), bool(interpret))
+    fn = _PACKED_CACHE.get(key)
+    if fn is None:
+        @jax.custom_batching.custom_vmap
+        def base(K_inv, K, A, q, l, u, rho_vec, x, z, y):
+            return admm_iterate_vpu(K_inv, K, A, q, l, u, rho_vec, x, z, y,
+                                    iters=iters, sigma=sigma, alpha=alpha,
+                                    interpret=interpret)
+
+        @base.def_vmap
+        def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+            args = [a if b else
+                    jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+                    for a, b in zip(args, in_batched)]
+            n = args[0].shape[-1]
+            m = args[2].shape[-2]
+            out = admm_iterate_vpu_packed(
+                *args, iters=iters, sigma=sigma, alpha=alpha,
+                g=_pick_g(n, m), interpret=interpret)
+            return out, (True, True, True)
+
+        fn = base
+        _PACKED_CACHE[key] = fn
+    return fn(K_inv, K, A, q, l, u, rho_vec, x, z, y)
+
+
+# ---------------------------------------------------------------------------
+# fully-fused solver kernel: Ruiz + K build + blocked Cholesky inverse +
+# fixed-iteration ADMM + rho adaptation, one pallas_call per solve
+# ---------------------------------------------------------------------------
+#
+# Why: the XLA path of a WBC-sized solve (n=30, m=50) is ~320 separate tiny
+# device ops (8 Ruiz rounds, 3 K builds, 3 recursive blocked-Cholesky
+# factorizations, 60 iteration matvecs, residual reductions) — profiling the
+# cascade showed ~540 ops per 1 kHz tick with ~12 us average cost: the stage
+# is op-launch/copy bound, not FLOP bound.  In-kernel, the same graph runs on
+# VMEM-resident data with zero launches between steps.
+#
+# All matrix products use dot_general DIMENSION NUMBERS (batch dim G leading)
+# instead of explicit transposes — K, K_inv are symmetric and the Cholesky
+# recursion only ever needs A'B / AB' contractions, so no operand is ever
+# relaid out.
+
+def _bmm(a, b):            # (G,i,k) @ (G,k,j) -> (G,i,j)
+    return jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _bmm_nt(a, b):         # (G,i,k) @ (G,j,k)' -> (G,i,j)
+    return jax.lax.dot_general(
+        a, b, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _bmm_tn(a, b):         # (G,k,i)' @ (G,k,j) -> (G,i,j)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _btri_lower_inverse(L):
+    """Batched (G,n,n) lower-triangular inverse, blocked recursion
+    (mirrors qp/blockinv.py tri_lower_inverse with a leading batch dim)."""
+    n = L.shape[-1]
+    if n == 1:
+        return 1.0 / L
+    h = n // 2
+    X11 = _btri_lower_inverse(L[:, :h, :h])
+    X22 = _btri_lower_inverse(L[:, h:, h:])
+    X21 = -_bmm(X22, _bmm(L[:, h:, :h], X11))
+    out = jnp.zeros_like(L)
+    out = out.at[:, :h, :h].set(X11)
+    out = out.at[:, h:, :h].set(X21)
+    out = out.at[:, h:, h:].set(X22)
+    return out
+
+
+def _bchol(K):
+    """Batched (G,n,n) blocked Cholesky (mirrors qp/blockinv.py chol_blocked;
+    same 1e-10 pivot floor)."""
+    n = K.shape[-1]
+    if n == 1:
+        return jnp.sqrt(jnp.maximum(K, 1e-10))
+    h = n // 2
+    L11 = _bchol(K[:, :h, :h])
+    L11_inv = _btri_lower_inverse(L11)
+    L21 = _bmm_nt(K[:, h:, :h], L11_inv)
+    S = K[:, h:, h:] - _bmm_nt(L21, L21)
+    L22 = _bchol(S)
+    out = jnp.zeros_like(K)
+    out = out.at[:, :h, :h].set(L11)
+    out = out.at[:, h:, :h].set(L21)
+    out = out.at[:, h:, h:].set(L22)
+    return out
+
+
+def _bspd_inverse_chol(K, eye):
+    """Batched spd_inverse_chol (qp/blockinv.py) with ns_steps=1: Jacobi
+    pre-scale, blocked Cholesky, triangular inverse, one Newton-Schulz
+    correction with the divergence safeguard, finite fallback."""
+    d = jnp.sum(K * eye, axis=1, keepdims=True)             # diag as (G,1,n)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    Ks = K * s * jnp.swapaxes(s, 1, 2)
+    L = _bchol(Ks)
+    L_inv = _btri_lower_inverse(L)
+    X0 = _bmm_tn(L_inv, L_inv)
+    X = _bmm(X0, 2.0 * eye - _bmm(Ks, X0))
+    r1 = jnp.sum((eye - _bmm(Ks, X)) ** 2, axis=(1, 2), keepdims=True)
+    r0 = jnp.sum((eye - _bmm(Ks, X0)) ** 2, axis=(1, 2), keepdims=True)
+    X = jnp.where(r1 < r0 * 4.0 + 1.0, X, X0)
+    finite = jnp.all(jnp.isfinite(X), axis=(1, 2), keepdims=True)
+    X = jnp.where(finite, X, eye)
+    return X * s * jnp.swapaxes(s, 1, 2)
+
+
+def _admm_fused_kernel(n: int, m: int, iters: int, adapt_rounds: int,
+                       equilibrate_iters: int, rho0: float, sigma: float,
+                       alpha: float, rho_eq_scale: float, inf: float,
+                       p_ref, q_ref, a_ref, l_ref, u_ref, eqf_ref,
+                       x0_ref, y0_ref,
+                       x_out, y_out, d_out, e_out, c_out):
+    """The ENTIRE admm_solve device pipeline for one G-block of scenarios.
+
+    Semantics mirror qp/admm.py admm_solve with mode="blockinv" exactly:
+    modified-Ruiz equilibration + cost scaling, warm-start scaling, per-round
+    K assembly + spd_inverse_chol + `iters/adapt_rounds` refined-inverse ADMM
+    updates, residual-ratio rho adaptation clipped to [1e-3, 1e3].  Outputs
+    are in the SCALED frame plus the (D, E, c) scales; the caller unscales
+    and computes final residuals (cheap batched XLA ops)."""
+    P = p_ref[:]               # (G, n, n)
+    q = q_ref[:]               # (G, 1, n)
+    A = a_ref[:]               # (G, m, n)
+    l = l_ref[:]               # (G, 1, m)
+    u = u_ref[:]               # (G, 1, m)
+    eqf = eqf_ref[:]           # (G, 1, m)  1.0 on equality rows
+    G = P.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), (G, n, n))
+
+    # ---- Ruiz equilibration + cost scaling (qp/admm.py ruiz_equilibrate) --
+    D = jnp.ones((G, 1, n), P.dtype)
+    E = jnp.ones((G, 1, m), P.dtype)
+    c = jnp.ones((G, 1, 1), P.dtype)
+    for _ in range(equilibrate_iters):
+        cn = jnp.maximum(jnp.max(jnp.abs(P), axis=1, keepdims=True),
+                         jnp.max(jnp.abs(A), axis=1, keepdims=True))  # (G,1,n)
+        cm = jnp.swapaxes(jnp.max(jnp.abs(A), axis=2, keepdims=True),
+                          1, 2)                                        # (G,1,m)
+        dn = jnp.where(cn < 1e-10, 1.0,
+                       jax.lax.rsqrt(jnp.maximum(cn, 1e-12)))
+        dm = jnp.where(cm < 1e-10, 1.0,
+                       jax.lax.rsqrt(jnp.maximum(cm, 1e-12)))
+        P = P * jnp.swapaxes(dn, 1, 2) * dn
+        q = q * dn
+        A = A * jnp.swapaxes(dm, 1, 2) * dn
+        D = D * dn
+        E = E * dm
+        pcol = jnp.max(jnp.abs(P), axis=1, keepdims=True)
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.mean(pcol, axis=2, keepdims=True),
+                        jnp.max(jnp.abs(q), axis=2, keepdims=True)), 1e-12)
+        P = P * gamma
+        q = q * gamma
+        c = c * gamma
+    l = jnp.where(l <= -inf, l, E * l)
+    u = jnp.where(u >= inf, u, E * u)
+
+    # ---- warm-start scaling + z init ------------------------------------
+    x = x0_ref[:] / D                                       # (G, 1, n)
+    y = y0_ref[:] * c / E                                   # (G, 1, m)
+    ax = jnp.swapaxes(jnp.sum(A * x, axis=2, keepdims=True), 1, 2)
+    z = jnp.clip(ax, l, u)                                  # (G, 1, m)
+
+    rho_pat = 1.0 + eqf * (rho_eq_scale - 1.0)              # (G, 1, m)
+    rho_s = jnp.full((G, 1, 1), rho0, P.dtype)
+    n_rounds = max(1, adapt_rounds)
+    iters_per = max(1, iters // n_rounds)
+
+    for r_i in range(n_rounds):
+        rho = rho_pat * rho_s                               # (G, 1, m)
+        rho_inv = 1.0 / rho
+        # K = P + sigma I + A' diag(rho) A — contraction over the m axis of
+        # both operands (_bmm_tn), so A is never relaid out
+        K = P + sigma * eye + _bmm_tn(A * jnp.swapaxes(rho, 1, 2), A)
+        K_inv = _bspd_inverse_chol(K, eye)
+
+        def body(_, carry, rho=rho, rho_inv=rho_inv):
+            x, z, y = carry      # (G,1,n), (G,1,m), (G,1,m)
+            w = jnp.swapaxes(rho * z - y, 1, 2)                  # (G, m, 1)
+            atw = jnp.sum(A * w, axis=1, keepdims=True)          # (G, 1, n)
+            rhs = sigma * x - q + atw
+            x_a = jnp.sum(K_inv * rhs, axis=2, keepdims=True)    # (G, n, 1)
+            kxa = jnp.sum(K * x_a, axis=1, keepdims=True)        # (G, 1, n)
+            r = rhs - kxa
+            corr = jnp.sum(K_inv * r, axis=2, keepdims=True)     # (G, n, 1)
+            x_t = jnp.swapaxes(x_a + corr, 1, 2)                 # (G, 1, n)
+            z_t = jnp.swapaxes(
+                jnp.sum(A * x_t, axis=2, keepdims=True), 1, 2)   # (G, 1, m)
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_r = alpha * z_t + (1.0 - alpha) * z
+            z_n = jnp.clip(z_r + rho_inv * y, l, u)
+            y_n = y + rho * (z_r - z_n)
+            return x_n, z_n, y_n
+
+        x, z, y = jax.lax.fori_loop(0, iters_per, body, (x, z, y))
+
+        if r_i + 1 < n_rounds:
+            ax = jnp.swapaxes(jnp.sum(A * x, axis=2, keepdims=True), 1, 2)
+            # P symmetric: (P x) as a row = sublane reduction of P * x_col
+            px = jnp.sum(P * jnp.swapaxes(x, 1, 2), axis=1, keepdims=True)
+            aty = jnp.sum(A * jnp.swapaxes(y, 1, 2), axis=1,
+                          keepdims=True)                     # A'y  (G,1,n)
+            amax = lambda v: jnp.max(jnp.abs(v), axis=(1, 2),  # noqa: E731
+                                     keepdims=True)
+            rp = amax(ax - z) / jnp.maximum(
+                jnp.maximum(amax(ax), amax(z)), 1e-12)
+            rd = amax(px + q + aty) / jnp.maximum(
+                jnp.maximum(amax(px), jnp.maximum(amax(q), amax(aty))),
+                1e-12)
+            rho_s = jnp.clip(
+                rho_s * jnp.sqrt(rp / jnp.maximum(rd, 1e-12)), 1e-3, 1e3)
+
+    x_out[:] = x
+    y_out[:] = y
+    d_out[:] = D
+    e_out[:] = E
+    c_out[:] = c
+
+
+def _pick_g_fused(n: int, m: int, budget_bytes: int = 3 << 20) -> int:
+    """G for the fused kernel: the Cholesky recursion holds several (G,n,n)
+    temporaries on top of the iteration state."""
+    per = (6 * _pad_bytes(n, n)           # P, K, K_inv, eye, chol temps
+           + 2 * _pad_bytes(m, n)         # A + product temp
+           + 10 * _pad_bytes(1, m)
+           + 6 * _pad_bytes(1, n)
+           + 2 * _pad_bytes(m, 1) + _pad_bytes(n, 1))
+    g = max(1, budget_bytes // per)
+    p = 1
+    while p * 2 <= g:
+        p *= 2
+    return min(p, 128)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iters", "adapt_rounds", "equilibrate_iters", "rho0", "sigma", "alpha",
+    "rho_eq_scale", "inf", "g", "interpret"))
+def admm_solve_fused_batch(P, q, A, l, u, eqf, x0, y0,
+                           iters: int, adapt_rounds: int,
+                           equilibrate_iters: int, rho0: float, sigma: float,
+                           alpha: float, rho_eq_scale: float, inf: float,
+                           g: int, interpret: bool = False):
+    """Batched fused solve: inputs (B, ...), returns scaled (x, y, D, E, c)."""
+    B = P.shape[0]
+    n = P.shape[-1]
+    m = A.shape[-2]
+    dtype = P.dtype
+
+    Bp = -(-B // g) * g
+    if Bp != B:
+        pad = lambda a, fill=0.0: jnp.concatenate(  # noqa: E731
+            [a, jnp.full((Bp - B,) + a.shape[1:], fill, a.dtype)], axis=0)
+        # padded scenarios solve a trivial SPD QP (P = I, free rows)
+        P = jnp.concatenate([P, jnp.broadcast_to(
+            jnp.eye(n, dtype=dtype), (Bp - B, n, n))], axis=0)
+        q, x0 = pad(q), pad(x0)
+        A, y0, eqf = pad(A), pad(y0), pad(eqf)
+        l, u = pad(l, -inf), pad(u, inf)
+
+    kern = functools.partial(_admm_fused_kernel, n, m, iters, adapt_rounds,
+                             equilibrate_iters, rho0, sigma, alpha,
+                             rho_eq_scale, inf)
+    mat = lambda s: pl.BlockSpec((g,) + s, lambda i: (i, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    row = lambda v: v[:, None, :]  # noqa: E731
+    x_o, y_o, d_o, e_o, c_o = pl.pallas_call(
+        kern,
+        grid=(Bp // g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1, n), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, m), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, n), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, m), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, 1), dtype),
+        ),
+        in_specs=[mat((n, n)), mat((1, n)), mat((m, n)), mat((1, m)),
+                  mat((1, m)), mat((1, m)), mat((1, n)), mat((1, m))],
+        out_specs=(mat((1, n)), mat((1, m)), mat((1, n)), mat((1, m)),
+                   mat((1, 1))),
+        interpret=interpret,
+    )(P, row(q), A, row(l), row(u), row(eqf), row(x0), row(y0))
+    return (x_o[:B, 0, :], y_o[:B, 0, :], d_o[:B, 0, :], e_o[:B, 0, :],
+            c_o[:B, 0, 0])
+
+
+_FUSED_CACHE: dict = {}
+
+
+def admm_solve_fused(P, q, A, l, u, eqf, x0, y0,
+                     iters: int, adapt_rounds: int, equilibrate_iters: int,
+                     rho0: float, sigma: float, alpha: float,
+                     rho_eq_scale: float, inf: float,
+                     interpret: bool = False):
+    """custom_vmap front for the fused solver (scaled outputs; see
+    admm_solve_fused_batch).  Unbatched calls run with G=1."""
+    key = (int(iters), int(adapt_rounds), int(equilibrate_iters), float(rho0),
+           float(sigma), float(alpha), float(rho_eq_scale), float(inf),
+           bool(interpret))
+    fn = _FUSED_CACHE.get(key)
+    if fn is None:
+        kw = dict(iters=iters, adapt_rounds=adapt_rounds,
+                  equilibrate_iters=equilibrate_iters, rho0=rho0, sigma=sigma,
+                  alpha=alpha, rho_eq_scale=rho_eq_scale, inf=inf,
+                  interpret=interpret)
+
+        @jax.custom_batching.custom_vmap
+        def base(P, q, A, l, u, eqf, x0, y0):
+            out = admm_solve_fused_batch(P[None], q[None], A[None], l[None],
+                                         u[None], eqf[None], x0[None],
+                                         y0[None], g=1, **kw)
+            return tuple(o[0] for o in out)
+
+        @base.def_vmap
+        def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+            args = [a if b else
+                    jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+                    for a, b in zip(args, in_batched)]
+            n = args[0].shape[-1]
+            m = args[2].shape[-2]
+            out = admm_solve_fused_batch(*args, g=_pick_g_fused(n, m), **kw)
+            return out, (True,) * 5
+
+        fn = base
+        _FUSED_CACHE[key] = fn
+    return fn(P, q, A, l, u, eqf, x0, y0)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha",
                                              "interpret"))
 def admm_iterate(K_inv, K, A, q, l, u, rho_vec, x, z, y,
