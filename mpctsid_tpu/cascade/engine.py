@@ -114,7 +114,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    est=None, use_estimator: bool = False,
                    mpc_iters: int = 100, mpc_rounds: int = 4,
                    wbc_iters: int = 60, wbc_rounds: int = 3,
-                   mpc_backend: str = "auto", wbc_backend: str = "xla"):
+                   mpc_backend: str = None, wbc_backend: str = None):
     """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks.
 
     With use_estimator=True, the controller consumes the complementary-filter
@@ -123,6 +123,12 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
     from mpctsid_tpu.est.filter import estimator_update, imu_from_plant
 
     model, cfg, tree = cc.model, cc.cfg, cc.tree
+    # backend choice is part of the config tree (SURVEY.md §5.6); explicit
+    # kwargs (benches, A/B scripts) override the preset
+    if mpc_backend is None:
+        mpc_backend = cfg.solver.mpc_backend
+    if wbc_backend is None:
+        wbc_backend = cfg.solver.wbc_backend
     dtype = plant.q.dtype
     phase = ctl.phase
     contacts = contacts_at(gait_id, phase).astype(dtype)

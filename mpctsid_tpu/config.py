@@ -74,6 +74,13 @@ class SolverConfig:
     sigma: float = 1e-6
     alpha: float = 1.6             # over-relaxation
     iters: int = 60                # fixed iteration count on device (SURVEY.md §7.3)
+    # device QP backends (qp/admm.py): "auto" resolves to the Pallas VPU
+    # iteration kernel on TPU and XLA elsewhere; "fused" is the one-pallas_call
+    # solver (Ruiz + Cholesky inverse + iterations in VMEM); "xla" the plain
+    # path.  WBC default stays XLA: its 30-var solves batch well under XLA's
+    # GEMMs (measured; see cascade/engine.py comment).
+    mpc_backend: str = "auto"
+    wbc_backend: str = "xla"
     eps_abs: float = 1e-8          # oracle convergence tolerance (CPU only)
     eps_rel: float = 1e-8
     max_iters_oracle: int = 4000

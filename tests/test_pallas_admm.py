@@ -40,7 +40,8 @@ def random_qp(seed, n=24, m=40):
     return [jnp.asarray(a, F32) for a in (P, q, A, l, u)]
 
 
-@pytest.mark.parametrize("backend", ["pallas", "pallas_vpu"])
+@pytest.mark.parametrize("backend",
+                         ["pallas", "pallas_vpu", "pallas_packed", "fused"])
 @pytest.mark.parametrize("seed", range(3))
 def test_pallas_interpret_matches_xla(seed, backend):
     P, q, A, l, u = random_qp(seed)
@@ -56,13 +57,16 @@ def test_pallas_interpret_matches_xla(seed, backend):
                                atol=1e-2)
 
 
-def test_pallas_interpret_matches_xla_batched():
+@pytest.mark.parametrize("backend", ["pallas", "pallas_packed", "fused"])
+def test_pallas_interpret_matches_xla_batched(backend):
+    # pallas_packed and fused go through custom_vmap (G-packed grid); the
+    # batched path is a different lowering than the unbatched one
     qps = [random_qp(s) for s in range(4)]
     Ps, qs, As, ls, us = [jnp.stack([qp[i] for qp in qps]) for i in range(5)]
     kw = dict(iters=60, adapt_rounds=2, rho=0.1)
     s_x = jax.vmap(lambda *a: admm_solve(*a, backend="xla", **kw))(
         Ps, qs, As, ls, us)
-    s_p = jax.vmap(lambda *a: admm_solve(*a, backend="pallas",
+    s_p = jax.vmap(lambda *a: admm_solve(*a, backend=backend,
                                          backend_interpret=True, **kw))(
         Ps, qs, As, ls, us)
     np.testing.assert_allclose(np.asarray(s_p.x), np.asarray(s_x.x),
@@ -86,7 +90,7 @@ _TPU_SCRIPT = textwrap.dedent("""
     s_x = jax.jit(jax.vmap(lambda *a: admm_solve(*a, backend="xla", **kw)))(
         Ps, qs, As, ls, us)
     worst = 0.0
-    for backend in ("pallas", "pallas_vpu"):
+    for backend in ("pallas", "pallas_vpu", "pallas_packed", "fused"):
         s_p = jax.jit(jax.vmap(lambda *a: admm_solve(*a, backend=backend,
                                                      **kw)))(
             Ps, qs, As, ls, us)
