@@ -331,6 +331,14 @@ def admm_iterate_packed(K_inv, K, A, q, l, u, rho_vec, x, z, y,
 # fixed-iteration ADMM + rho adaptation, one pallas_call per solve
 # ---------------------------------------------------------------------------
 #
+# STATUS: interpret-mode parity-tested vs qp/admm.py (tests/test_pallas_admm);
+# on the real chip the Mosaic TC compiler currently SIGABRTs on the blocked-
+# Cholesky recursion's odd-offset (h=15/96) sub-tile concatenates
+# (scripts/bench_backends.py round-3 A/B).  The production TPU path is the
+# "pallas_vpu" iteration kernel (VMEM-resident K/K_inv, measured 51.2k
+# cascade ticks/s at B=1024); "fused" stays an opt-in experiment until the
+# recursion is re-tiled to lane-aligned block sizes.
+#
 # Why: the XLA path of a WBC-sized solve (n=30, m=50) is ~320 separate tiny
 # device ops (8 Ruiz rounds, 3 K builds, 3 recursive blocked-Cholesky
 # factorizations, 60 iteration matvecs, residual reductions) — profiling the
@@ -374,11 +382,12 @@ def _btri_lower_inverse(L):
     X11 = _btri_lower_inverse(L[:, :h, :h])
     X22 = _btri_lower_inverse(L[:, h:, h:])
     X21 = -_bmm(X22, _bmm(L[:, h:, :h], X11))
-    out = jnp.zeros_like(L)
-    out = out.at[:, :h, :h].set(X11)
-    out = out.at[:, h:, :h].set(X21)
-    out = out.at[:, h:, h:].set(X22)
-    return out
+    # block assembly via concatenate (NOT .at[].set: that lowers to scatter,
+    # which Mosaic TPU cannot compile inside a kernel)
+    top = jnp.concatenate(
+        [X11, jnp.zeros((L.shape[0], h, n - h), L.dtype)], axis=2)
+    bot = jnp.concatenate([X21, X22], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
 
 
 def _bchol(K):
@@ -393,11 +402,10 @@ def _bchol(K):
     L21 = _bmm_nt(K[:, h:, :h], L11_inv)
     S = K[:, h:, h:] - _bmm_nt(L21, L21)
     L22 = _bchol(S)
-    out = jnp.zeros_like(K)
-    out = out.at[:, :h, :h].set(L11)
-    out = out.at[:, h:, :h].set(L21)
-    out = out.at[:, h:, h:].set(L22)
-    return out
+    top = jnp.concatenate(
+        [L11, jnp.zeros((K.shape[0], h, n - h), K.dtype)], axis=2)
+    bot = jnp.concatenate([L21, L22], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
 
 
 def _bspd_inverse_chol(K, eye):
