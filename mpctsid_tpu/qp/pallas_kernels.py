@@ -372,13 +372,90 @@ def _bmm_tn(a, b):         # (G,k,i)' @ (G,k,j) -> (G,i,j)
         precision=jax.lax.Precision.HIGHEST)
 
 
+_BASE = 8  # recursion base-case size; all concat offsets stay multiples of 8
+
+
+# Multi-axis reductions (axis=(1, 2)) crash the Mosaic layout pass
+# ("layout.h:320 Check failed: arr.size() >= layout_rank" SIGABRT, probed
+# round 4); reduce one axis at a time instead.
+def _sum2(v):      # sum over the last two axes, keepdims, (G,1,1) out
+    return jnp.sum(jnp.sum(v, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _max2(v):      # max over the last two axes, keepdims
+    return jnp.max(jnp.max(v, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _min2(v):      # min over the last two axes, keepdims
+    return jnp.min(jnp.min(v, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _split(n: int) -> int:
+    """Split point for the blocked recursions: n/2 rounded UP to a multiple
+    of 8 so every block-assembly concatenate lands on a sublane/lane-aligned
+    offset.  Round-3 forensics: the n==1 base case produced
+    `tpu.concatenate` of vector<Gx1x1xf32> tiles with mismatched sub-tile
+    offsets, which Mosaic rejects ("result/input offset mismatch on
+    non-concat dimension" -> SIGABRT through the remote-compile tunnel);
+    8-aligned concats compile fine (scripts/probe_mosaic_concat.py)."""
+    return -(-(n // 2) // _BASE) * _BASE
+
+
+def _btri_base(L):
+    """(G,b,b) lower-triangular inverse for b <= 8, concat/slice-free.
+
+    L = D (I + N) with N strictly lower (nilpotent, N^b = 0), so
+    inv(I+N) = sum_k (-N)^k = prod_j (I + M^(2^j)), M = -N — an EXACT
+    log-depth product of matmuls (Mosaic-friendly), then a diagonal
+    column-scale by 1/d.  Mirrors qp/blockinv.py tri_lower_inverse's math
+    without any sub-8 block assembly."""
+    b = L.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, b, b), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, b, b), 2)
+    eye = (rows == cols).astype(L.dtype)
+    d = jnp.sum(L * eye, axis=2, keepdims=True)            # (G, b, 1) diag
+    M = jnp.where(rows > cols, -L / d, 0.0)                # M = -N
+    X = eye + M
+    k = 1
+    while k < b - 1:                 # product covers M^0 .. M^(2k+1)
+        M = _bmm(M, M)
+        X = _bmm(X, eye + M)
+        k *= 2
+    return X / jnp.swapaxes(d, 1, 2)
+
+
+def _bchol_base(K):
+    """(G,b,b) unblocked Cholesky for b <= 8, concat/slice-free.
+
+    Right-looking column sweep; column extraction/placement via onehot
+    masks + reductions (Mosaic supports iota/elementwise/reduce; `.at[].set`
+    lowers to scatter and sub-8 concats mis-tile — see _split).  Same 1e-10
+    pivot floor as qp/blockinv.py chol_blocked."""
+    b = K.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, b, b), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, b, b), 2)
+    L = jnp.zeros_like(K)
+    M = K
+    for j in range(b):
+        ej = (cols == j).astype(K.dtype)                   # column-j mask
+        djj = _sum2(M * ej * (rows == j))
+        d = jnp.sqrt(jnp.maximum(djj, 1e-10))
+        colj = jnp.sum(M * ej, axis=2, keepdims=True)      # (G, b, 1)
+        lj = jnp.where(rows[:, :, :1] >= j, colj / d, 0.0)
+        L = L + lj * ej
+        M = M - lj * jnp.swapaxes(lj, 1, 2)
+    return L
+
+
 def _btri_lower_inverse(L):
     """Batched (G,n,n) lower-triangular inverse, blocked recursion
-    (mirrors qp/blockinv.py tri_lower_inverse with a leading batch dim)."""
+    (mirrors qp/blockinv.py tri_lower_inverse with a leading batch dim).
+    Requires n to be a multiple of 8 above the base case (the fused solver
+    pads its QPs to that — admm_solve_fused_batch)."""
     n = L.shape[-1]
-    if n == 1:
-        return 1.0 / L
-    h = n // 2
+    if n <= _BASE:
+        return _btri_base(L)
+    h = _split(n)
     X11 = _btri_lower_inverse(L[:, :h, :h])
     X22 = _btri_lower_inverse(L[:, h:, h:])
     X21 = -_bmm(X22, _bmm(L[:, h:, :h], X11))
@@ -392,11 +469,12 @@ def _btri_lower_inverse(L):
 
 def _bchol(K):
     """Batched (G,n,n) blocked Cholesky (mirrors qp/blockinv.py chol_blocked;
-    same 1e-10 pivot floor)."""
+    same 1e-10 pivot floor).  n above the base case must be a multiple of 8
+    (see _split)."""
     n = K.shape[-1]
-    if n == 1:
-        return jnp.sqrt(jnp.maximum(K, 1e-10))
-    h = n // 2
+    if n <= _BASE:
+        return _bchol_base(K)
+    h = _split(n)
     L11 = _bchol(K[:, :h, :h])
     L11_inv = _btri_lower_inverse(L11)
     L21 = _bmm_nt(K[:, h:, :h], L11_inv)
@@ -419,10 +497,10 @@ def _bspd_inverse_chol(K, eye):
     L_inv = _btri_lower_inverse(L)
     X0 = _bmm_tn(L_inv, L_inv)
     X = _bmm(X0, 2.0 * eye - _bmm(Ks, X0))
-    r1 = jnp.sum((eye - _bmm(Ks, X)) ** 2, axis=(1, 2), keepdims=True)
-    r0 = jnp.sum((eye - _bmm(Ks, X0)) ** 2, axis=(1, 2), keepdims=True)
+    r1 = _sum2((eye - _bmm(Ks, X)) ** 2)
+    r0 = _sum2((eye - _bmm(Ks, X0)) ** 2)
     X = jnp.where(r1 < r0 * 4.0 + 1.0, X, X0)
-    finite = jnp.all(jnp.isfinite(X), axis=(1, 2), keepdims=True)
+    finite = _min2(jnp.isfinite(X).astype(K.dtype)) > 0.5
     X = jnp.where(finite, X, eye)
     return X * s * jnp.swapaxes(s, 1, 2)
 
@@ -523,8 +601,7 @@ def _admm_fused_kernel(n: int, m: int, iters: int, adapt_rounds: int,
             px = jnp.sum(P * jnp.swapaxes(x, 1, 2), axis=1, keepdims=True)
             aty = jnp.sum(A * jnp.swapaxes(y, 1, 2), axis=1,
                           keepdims=True)                     # A'y  (G,1,n)
-            amax = lambda v: jnp.max(jnp.abs(v), axis=(1, 2),  # noqa: E731
-                                     keepdims=True)
+            amax = lambda v: _max2(jnp.abs(v))  # noqa: E731
             rp = amax(ax - z) / jnp.maximum(
                 jnp.maximum(amax(ax), amax(z)), 1e-12)
             rd = amax(px + q + aty) / jnp.maximum(
@@ -569,6 +646,21 @@ def admm_solve_fused_batch(P, q, A, l, u, eqf, x0, y0,
     m = A.shape[-2]
     dtype = P.dtype
 
+    # Pad the primal dimension to a multiple of 8 (WBC: 30 -> 32) so the
+    # blocked-Cholesky recursion only ever concats at 8-aligned offsets (see
+    # _split).  Padded variables solve min 1/2 x_p^2 (P diag 1, q 0, A col 0)
+    # -> fixed point x_p = 0; sliced back off on return.
+    n0 = n
+    n_extra = (-n) % _BASE
+    if n_extra:
+        n = n + n_extra
+        pad_diag = (jnp.arange(n) >= n0).astype(dtype)
+        P = (jnp.pad(P, ((0, 0), (0, n_extra), (0, n_extra)))
+             + jnp.eye(n, dtype=dtype) * pad_diag)
+        q = jnp.pad(q, ((0, 0), (0, n_extra)))
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, n_extra)))
+        x0 = jnp.pad(x0, ((0, 0), (0, n_extra)))
+
     Bp = -(-B // g) * g
     if Bp != B:
         pad = lambda a, fill=0.0: jnp.concatenate(  # noqa: E731
@@ -602,7 +694,7 @@ def admm_solve_fused_batch(P, q, A, l, u, eqf, x0, y0,
                    mat((1, 1))),
         interpret=interpret,
     )(P, row(q), A, row(l), row(u), row(eqf), row(x0), row(y0))
-    return (x_o[:B, 0, :], y_o[:B, 0, :], d_o[:B, 0, :], e_o[:B, 0, :],
+    return (x_o[:B, 0, :n0], y_o[:B, 0, :], d_o[:B, 0, :n0], e_o[:B, 0, :],
             c_o[:B, 0, 0])
 
 

@@ -84,6 +84,11 @@ _TPU_SCRIPT = textwrap.dedent("""
     from mpctsid_tpu.qp.admm import admm_solve
 
     assert any(d.platform == "tpu" for d in jax.devices()), jax.devices()
+    # prove the device actually executes before any kernel work: failures
+    # after this sentinel are REAL regressions (e.g. a Mosaic SIGABRT through
+    # the remote-compile tunnel), never "no TPU" skips
+    assert float(jnp.ones((8, 128)).sum()) == 1024.0
+    print("TPU_READY", flush=True)
     qps = [random_qp(s) for s in range(8)]
     Ps, qs, As, ls, us = [jnp.stack([qp[i] for qp in qps]) for i in range(5)]
     kw = dict(iters=60, adapt_rounds=2, rho=0.1)
@@ -103,8 +108,14 @@ _TPU_SCRIPT = textwrap.dedent("""
 
 @pytest.mark.tpu
 def test_pallas_tpu_matches_xla():
-    """Real-Mosaic-lowering parity, run in a TPU-visible subprocess; skipped
-    when no TPU is reachable."""
+    """Real-Mosaic-lowering parity, run in a TPU-visible subprocess.
+
+    Skip policy (VERDICT.md round-3 weak #2: the old stderr-grep heuristic
+    could mask a Mosaic SIGABRT as "no TPU"): the subprocess prints TPU_READY
+    only after jax.devices() shows a TPU AND a trivial device computation
+    returned the right answer.  A nonzero exit BEFORE the sentinel is an
+    environment skip; any failure AFTER it — including a tpu_compile_helper
+    SIGABRT on a kernel lowering — fails the suite."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS",)}
@@ -114,8 +125,7 @@ def test_pallas_tpu_matches_xla():
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     r = subprocess.run([sys.executable, "-c", _TPU_SCRIPT % root],
                        capture_output=True, text=True, timeout=1800, env=env)
-    if r.returncode != 0 and ("tpu" in r.stderr.lower()
-                              or "AssertionError" in r.stderr):
+    if r.returncode != 0 and "TPU_READY" not in r.stdout:
         pytest.skip(f"no TPU reachable: {r.stderr[-200:]}")
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
