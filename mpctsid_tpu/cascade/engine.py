@@ -73,13 +73,16 @@ def srb_state(q, v):
 
 
 def init_controller(model: Solo12Model, cfg: EngineConfig, tree, q0,
-                    gait_id) -> ControllerState:
+                    gait_id, payload=None) -> ControllerState:
     dtype = q0.dtype
     feet = dyn.foot_positions(tree, q0) * jnp.asarray([1, 1, 0], dtype)
     contacts0 = contacts_at(gait_id, jnp.int32(0)).astype(dtype)
     n_st = jnp.maximum(contacts0.sum(), 1.0)
+    mass = jnp.asarray(model.total_mass, dtype)
+    if payload is not None:
+        mass = mass + payload
     fb = jnp.zeros((cfg.mpc.horizon, 4, 3), dtype)
-    fb = fb.at[:, :, 2].set(model.total_mass * model.g / n_st
+    fb = fb.at[:, :, 2].set(mass * model.g / n_st
                             * contacts0[None, :])
     return ControllerState(
         phase=jnp.int32(0),
@@ -114,12 +117,20 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    est=None, use_estimator: bool = False,
                    mpc_iters: int = 100, mpc_rounds: int = 4,
                    wbc_iters: int = 60, wbc_rounds: int = 3,
-                   mpc_backend: str = None, wbc_backend: str = None):
+                   mpc_backend: str = None, wbc_backend: str = None,
+                   payload=None, payload_known: bool = True):
     """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks.
 
     With use_estimator=True, the controller consumes the complementary-filter
     estimate (est/) fed by the plant's IMU + encoders instead of ground truth
-    (SURVEY.md §3.2 "estimator.update" first in the tick)."""
+    (SURVEY.md §3.2 "estimator.update" first in the tick).
+
+    payload: optional traced scalar (kg) — a point mass rigidly attached at
+    the base origin; per-scenario DATA under vmap (BASELINE.json:9 "mu/load
+    perturbation batches").  The plant always carries it.  payload_known
+    (static) controls whether the CONTROLLER models it too (SRB total mass +
+    WBC mass matrix/gravity bias); False exercises unmodeled-load
+    robustness."""
     from mpctsid_tpu.est.filter import estimator_update, imu_from_plant
 
     model, cfg, tree = cc.model, cc.cfg, cc.tree
@@ -130,6 +141,13 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
     if wbc_backend is None:
         wbc_backend = cfg.solver.wbc_backend
     dtype = plant.q.dtype
+    # payload spatial inertia: the plant truth always carries it; the
+    # controller's dynamics see it only when payload_known
+    plant_extra = (None if payload is None
+                   else dyn.point_mass_spatial(payload, dtype=dtype))
+    ctl_extra = plant_extra if payload_known else None
+    ctl_mass = (None if (payload is None or not payload_known)
+                else jnp.asarray(model.total_mass, dtype) + payload)
     phase = ctl.phase
     contacts = contacts_at(gait_id, phase).astype(dtype)
 
@@ -152,7 +170,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
     cont_h = jnp.stack([contacts_at(gait_id, phase + k).astype(dtype)
                         for k in range(cfg.mpc.horizon)])
     P, q_lin, A, l, u = build_mpc_qp(model, cfg.mpc, x_srb, x_ref, fsteps,
-                                     cont_h)
+                                     cont_h, total_mass=ctl_mass)
     # MPC backend: "auto" resolves to the Pallas iteration kernel on TPU
     # (VMEM-resident K^-1/K/A; measured 276 -> 224 ms per B=1024 solve batch
     # vs XLA, scripts/profile_components.py).  The WBC stage defaults to XLA:
@@ -206,7 +224,8 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         tau_ff, qdd, f_wbc, wbc_sol = solve_wbc(
             tree, cfg.wbc, q_t, v_t, refs,
             iters=wbc_iters, adapt_rounds=wbc_rounds,
-            warm_x=wx, warm_y=wy, backend=wbc_backend)
+            warm_x=wx, warm_y=wy, backend=wbc_backend,
+            extra_base_inertia=ctl_extra)
         # WBC failure containment (SURVEY.md §5.3): a non-finite/diverged
         # tick falls back to pure joint impedance toward the standing
         # posture (safety-damping analog of the reference's QP-failure
@@ -226,7 +245,8 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                        + 0.3 * (qd_des - plant.v[6:]),
                        -cfg.wbc.tau_max, cfg.wbc.tau_max)
         plant, f_ground = plant_step(tree, plant, tau, dt=wbc_dt,
-                                     params=contact_params)
+                                     params=contact_params,
+                                     extra_base_inertia=plant_extra)
         wx = jnp.where(wbc_ok, wbc_sol.x, wx)
         wy = jnp.where(wbc_ok, wbc_sol.y, wy)
         return (plant, est_s, wx, wy), (tau, f_ground, wbc_ok)
@@ -258,11 +278,12 @@ def cascade_rollout(cc: CascadeConfigured, ctl: ControllerState,
                     plant: PlantState, gait_id, v_cmd,
                     contact_params: ContactParams, n_periods: int,
                     est=None, use_estimator: bool = False,
-                    **solver_kw):
+                    payload=None, **solver_kw):
     """Roll n_periods MPC periods (n_periods * mpc_every WBC ticks).
 
     Returns (ctl, plant, metrics stacked over periods).  Single-scenario;
-    vmap + shard_map over scenario batches (dist/)."""
+    vmap + shard_map over scenario batches (dist/).  payload: per-scenario
+    base point mass (kg) — see cascade_period."""
 
     # v_cmd may be a single (3,) command or an (n_periods, 3) profile
     # (the reference's joystick / scripted velocity profiles,
@@ -274,7 +295,8 @@ def cascade_rollout(cc: CascadeConfigured, ctl: ControllerState,
         ctl, plant, est_s = carry
         ctl, plant, est_s, metrics = cascade_period(
             cc, ctl, plant, gait_id, v_k, contact_params,
-            est=est_s, use_estimator=use_estimator, **solver_kw)
+            est=est_s, use_estimator=use_estimator, payload=payload,
+            **solver_kw)
         return (ctl, plant, est_s), metrics
 
     (ctl, plant, est), metrics = jax.lax.scan(body, (ctl, plant, est), v_seq)

@@ -178,8 +178,30 @@ def fk(tree_or_consts, q):
     return LegKin(_consts(tree_or_consts), q)
 
 
-def rnea(tree_or_consts, q, v, a, gravity: float = GRAV):
-    """tau(18,) = M(q) a + C(q,v) v + g(q);  a = 0 gives the bias vector h."""
+def point_mass_spatial(m, r=None, dtype=jnp.float32):
+    """(6,6) spatial inertia ([ang; lin] convention) of a point mass m rigidly
+    attached to the base at offset r (default: the base origin).
+
+    This is the per-scenario LOAD perturbation hook (BASELINE.json:9 "mu/load
+    perturbation batches"): m is DATA, so a payload spread vmaps across a
+    scenario batch while the LegConsts stay trace-time constants."""
+    m = jnp.asarray(m, dtype)
+    out = jnp.zeros((6, 6), dtype)
+    out = out.at[3, 3].set(m).at[4, 4].set(m).at[5, 5].set(m)
+    if r is not None:
+        S = _skew(jnp.asarray(r, dtype))
+        out = out.at[0:3, 0:3].set(m * (S @ S.T))
+        out = out.at[0:3, 3:6].set(m * S)
+        out = out.at[3:6, 0:3].set(m * S.T)
+    return out
+
+
+def rnea(tree_or_consts, q, v, a, gravity: float = GRAV,
+         extra_base_inertia=None):
+    """tau(18,) = M(q) a + C(q,v) v + g(q);  a = 0 gives the bias vector h.
+
+    extra_base_inertia: optional traced (6,6) spatial inertia added to the
+    base body (payload perturbations; see point_mass_spatial)."""
     C = _consts(tree_or_consts)
     k = LegKin(C, q)
     qd = v[6:].reshape(4, 3)
@@ -225,7 +247,10 @@ def rnea(tree_or_consts, q, v, a, gravity: float = GRAV):
         return n, f
 
     # base wrench
-    n0, f0 = wrench(w0, v0, wd0, vd0, C.I_base)
+    I_base = jnp.asarray(C.I_base, q.dtype)
+    if extra_base_inertia is not None:
+        I_base = I_base + extra_base_inertia
+    n0, f0 = wrench(w0, v0, wd0, vd0, I_base)
 
     # backward pass over the 3 levels
     taus = [None, None, None]
@@ -248,8 +273,11 @@ def rnea(tree_or_consts, q, v, a, gravity: float = GRAV):
     return jnp.concatenate([f0, n0, tau_j])
 
 
-def crba(tree_or_consts, q):
-    """Mass matrix M(q) (18,18): dense base block, 6x12 coupling, block-diag legs."""
+def crba(tree_or_consts, q, extra_base_inertia=None):
+    """Mass matrix M(q) (18,18): dense base block, 6x12 coupling, block-diag legs.
+
+    extra_base_inertia: optional traced (6,6) base-body spatial inertia addend
+    (payload perturbations; see point_mass_spatial)."""
     C = _consts(tree_or_consts)
     k = LegKin(C, q)
 
@@ -274,6 +302,8 @@ def crba(tree_or_consts, q):
     X_hip = spatial_X(k.Rr_hip, jnp.asarray(levels[0][0]))
     Ic_base = jnp.asarray(C.I_base) + jnp.einsum(
         "lji,ljk,lkm->im", X_hip, Ic_hip, X_hip)
+    if extra_base_inertia is not None:
+        Ic_base = Ic_base + extra_base_inertia
 
     def xf_to_parent(Rr, pl, F):
         """(4,6) child-frame force -> parent frame."""

@@ -63,11 +63,13 @@ jax.tree_util.register_dataclass(
     PlantState, data_fields=["q", "v", "anchor", "in_contact"], meta_fields=[])
 
 
-def _substep(tree: KinematicTree, st: PlantState, tau, h_dt, p: ContactParams):
+def _substep(tree: KinematicTree, st: PlantState, tau, h_dt, p: ContactParams,
+             extra_base_inertia=None):
     q, v = st.q, st.v
     dtype = q.dtype
-    M = dyn.crba(tree, q)
-    bias = dyn.rnea(tree, q, v, jnp.zeros(NV, dtype))
+    M = dyn.crba(tree, q, extra_base_inertia=extra_base_inertia)
+    bias = dyn.rnea(tree, q, v, jnp.zeros(NV, dtype),
+                    extra_base_inertia=extra_base_inertia)
     feet = dyn.foot_positions(tree, q)      # (4,3)
     J = dyn.foot_jacobians(tree, q)         # (4,3,18)
 
@@ -128,13 +130,19 @@ def _substep(tree: KinematicTree, st: PlantState, tau, h_dt, p: ContactParams):
 
 def plant_step(tree: KinematicTree, st: PlantState, tau,
                dt: float = 0.001, substeps: int = 2,
-               params: ContactParams | None = None):
+               params: ContactParams | None = None,
+               extra_base_inertia=None):
     """One 1 kHz plant step under joint torques tau (12,).
+
+    extra_base_inertia: optional traced (6,6) base spatial-inertia addend —
+    the TRUE payload carried by the plant in load-perturbation batches
+    (BASELINE.json:9); per-scenario data under vmap.
 
     Returns (new_state, ground_forces (4,3) from the last substep)."""
     params = params or ContactParams.default(st.q.dtype)
     h_dt = dt / substeps
     f = jnp.zeros((4, 3), st.q.dtype)
     for _ in range(substeps):
-        st, f = _substep(tree, st, tau, h_dt, params)
+        st, f = _substep(tree, st, tau, h_dt, params,
+                         extra_base_inertia=extra_base_inertia)
     return st, f

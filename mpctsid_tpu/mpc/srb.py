@@ -75,10 +75,16 @@ def reference_rollout(model: Solo12Model, cfg: MpcConfig, x0, v_cmd):
     return xs
 
 
-def srb_discrete(model: Solo12Model, cfg: MpcConfig, yaw, feet, p_ref):
-    """One-step Euler (A(12,12), B(12,12), c(12)); mirrors oracle srb_discrete."""
+def srb_discrete(model: Solo12Model, cfg: MpcConfig, yaw, feet, p_ref,
+                 total_mass=None):
+    """One-step Euler (A(12,12), B(12,12), c(12)); mirrors oracle srb_discrete.
+
+    total_mass: optional traced override of model.total_mass — the SRB-model
+    side of a per-scenario payload perturbation (BASELINE.json:9)."""
     dt = cfg.dt
     dtype = feet.dtype
+    if total_mass is None:
+        total_mass = jnp.asarray(model.total_mass, dtype)
     Rz = rot_z(yaw)
     I_b = jnp.asarray(model.srb_inertia, dtype)
     I_w = Rz @ I_b @ Rz.T
@@ -90,7 +96,7 @@ def srb_discrete(model: Solo12Model, cfg: MpcConfig, yaw, feet, p_ref):
 
     r = feet - p_ref[None]                        # (4,3)
     Bw = dt * jnp.einsum("ij,fjk->fik", I_w_inv, _skew(r))   # (4,3,3)
-    Bv = (dt / model.total_mass) * jnp.broadcast_to(
+    Bv = (dt / total_mass) * jnp.broadcast_to(
         jnp.eye(3, dtype=dtype), (4, 3, 3))
     B = jnp.zeros((NX, NU), dtype)
     B = B.at[6:9].set(jnp.concatenate([Bv[i] for i in range(4)], axis=1))
@@ -111,16 +117,19 @@ def _pyramid_block(mu: float, dtype) -> jnp.ndarray:
 
 
 @f32_matmuls
-def build_mpc_qp(model: Solo12Model, cfg: MpcConfig, x0, x_ref, feet, contacts):
+def build_mpc_qp(model: Solo12Model, cfg: MpcConfig, x0, x_ref, feet, contacts,
+                 total_mass=None):
     """Condensed MPC QP (P, q, A, l, u) over U in R^{12N}.
 
-    x0 (12,), x_ref (N,12), feet (N,4,3), contacts (N,4) in {0,1}."""
+    x0 (12,), x_ref (N,12), feet (N,4,3), contacts (N,4) in {0,1}.
+    total_mass: optional traced per-scenario mass (payload perturbation)."""
     N = cfg.horizon
     dtype = x0.dtype
 
     # all N one-step models in one batched op (vmap over the horizon index)
     A_ks, B_ks, c_ks = jax.vmap(
-        lambda yaw, ft, pr: srb_discrete(model, cfg, yaw, ft, pr))(
+        lambda yaw, ft, pr: srb_discrete(model, cfg, yaw, ft, pr,
+                                         total_mass=total_mass))(
             x_ref[:, 5], feet, x_ref[:, 0:3])          # (N,12,12)(N,12,12)(N,12)
 
     # condensation as a scan over the horizon: each step is ONE row-level

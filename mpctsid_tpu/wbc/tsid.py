@@ -66,11 +66,17 @@ def _rpy(R):
     ])
 
 
-def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
-    """Returns (H, g, A, l, u, M, h_bias, JcT) for one sample."""
+def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
+                 extra_base_inertia=None):
+    """Returns (H, g, A, l, u, M, h_bias, JcT) for one sample.
+
+    extra_base_inertia: optional traced (6,6) base spatial-inertia addend —
+    the WBC-side (mass matrix + gravity bias) of a per-scenario payload
+    perturbation (BASELINE.json:9)."""
     dtype = q.dtype
-    M = dyn.crba(tree, q)
-    h = dyn.rnea(tree, q, v, jnp.zeros(NV, dtype))
+    M = dyn.crba(tree, q, extra_base_inertia=extra_base_inertia)
+    h = dyn.rnea(tree, q, v, jnp.zeros(NV, dtype),
+                 extra_base_inertia=extra_base_inertia)
     feet = dyn.foot_positions(tree, q)
     J = dyn.foot_jacobians(tree, q)            # (4,3,18)
     drift = dyn.foot_drifts(tree, q, v)        # (4,3)
@@ -168,9 +174,18 @@ def build_wbc_qp(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs):
 @f32_matmuls
 def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
               iters: int = 60, adapt_rounds: int = 3,
-              warm_x=None, warm_y=None, backend: str = "xla"):
-    """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution)."""
-    H, g, A, l, u, M, h, JcT = build_wbc_qp(tree, cfg, q, v, refs)
+              warm_x=None, warm_y=None, backend: str = "xla",
+              polish: bool = False, extra_base_inertia=None):
+    """One WBC tick: returns (tau(12,), qdd(18,), f(4,3), QPSolution).
+
+    polish=True adds the device-side df32 active-set KKT polish (the same
+    qp/admm.py _polish the MPC stage's 1e-4 tier uses): measured cold-start
+    torque parity vs the oracle improves mean 0.049 -> 0.023 Nm (max 0.29 ->
+    0.10) at 60 iters.  Off by default in the cascade: warm-started in-loop
+    solves already sit at mean ~8e-4 Nm, and the polish's LU serializes on
+    TPU."""
+    H, g, A, l, u, M, h, JcT = build_wbc_qp(
+        tree, cfg, q, v, refs, extra_base_inertia=extra_base_inertia)
     # blockinv + in-iteration refinement (qp/admm.py k_solve) matches the LU
     # inverse's parity on the ridge KKT at MXU-only cost (scripts/diag_wbc_mode:
     # mean torque err 0.18 vs 0.15 cold at 60 iters; warm starts in the cascade
@@ -180,7 +195,7 @@ def solve_wbc(tree: KinematicTree, cfg: WbcConfig, q, v, refs: WbcRefs,
     # the failure policy should only trip on divergence/non-finite solves
     sol = admm_solve(H, g, A, l, u, x0=warm_x, y0=warm_y,
                      iters=iters, adapt_rounds=adapt_rounds, rho=0.1,
-                     status_tol=0.5, backend=backend)
+                     status_tol=0.5, backend=backend, polish_kkt=polish)
     qdd = sol.x[:NV]
     f = sol.x[NV:]
     tau = M[6:] @ qdd + h[6:] - JcT[6:] @ f

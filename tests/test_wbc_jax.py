@@ -67,10 +67,21 @@ def jax_refs(refs, dtype=F32):
 
 
 def build64(q, v, refs):
-    """f64 JAX-built QP (CPU tests run with x64 available via numpy cast)."""
-    out = build_wbc_qp(TREE, CFG.wbc, jnp.asarray(q), jnp.asarray(v),
-                       jax_refs(refs, jnp.float64))
-    return [np.asarray(a, np.float64) for a in out]
+    """Really-f64 JAX-built QP.  VERDICT.md round-3 weak #3: without enabling
+    x64 JAX silently truncated the requested float64 to f32, so the 'f64
+    builder' parity test was testing an f32 build.  The enable_x64 context
+    makes the build genuinely double-precision."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        out = build_wbc_qp(TREE, CFG.wbc,
+                           jnp.asarray(np.asarray(q), jnp.float64),
+                           jnp.asarray(np.asarray(v), jnp.float64),
+                           jax_refs(refs, jnp.float64))
+        out = [np.asarray(a, np.float64) for a in out]
+        assert out[0].dtype == np.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    return out
 
 
 def tau_of(x, Mm, h, JcT):
@@ -89,12 +100,20 @@ def test_builder_solution_parity_under_1e4(ticks):
         assert np.abs(tau - o_tau).max() < 1e-4, f"tick {k}"
 
 
-def test_f32_cold_solve_parity(ticks):
+@pytest.mark.parametrize("polish,mean_budget,max_budget", [
+    # raw fixed-iteration solve (the cascade's in-loop configuration; its
+    # warm starts then reach ~8e-4 — see the warm-sequence test)
+    (False, 0.1, 0.4),
+    # + device-side df32 active-set polish: the WBC analog of the MPC
+    # stage's 1e-4 tier (VERDICT.md round-3 item 4).  Measured 0.023 / 0.10.
+    (True, 0.05, 0.2),
+])
+def test_f32_cold_solve_parity(ticks, polish, mean_budget, max_budget):
     """Fixed-iteration f32 device solve, cold-started, across all 40 ticks.
-    Budgets hold at ~2x margin today (mean 0.18 / max 0.51 measured); the
-    round-1 regression sat at mean 1.6 / max 3.2 — an order of magnitude out."""
+    The round-1 regression sat at mean 1.6 / max 3.2 — 16x the no-polish
+    budget."""
     solve = jax.jit(lambda *a: admm_solve(*a, iters=60, adapt_rounds=3,
-                                          rho=0.1))
+                                          rho=0.1, polish_kkt=polish))
     errs = []
     for q, v, refs, o_tau in ticks:
         H, g, A, l, u, Mm, h, JcT = build64(q, v, refs)
@@ -102,8 +121,8 @@ def test_f32_cold_solve_parity(ticks):
         tau = tau_of(np.asarray(s.x, np.float64), Mm, h, JcT)
         errs.append(np.abs(tau - o_tau).max())
     errs = np.asarray(errs)
-    assert errs.mean() < 0.4, errs.mean()
-    assert errs.max() < 1.0, errs.max()
+    assert errs.mean() < mean_budget, errs.mean()
+    assert errs.max() < max_budget, errs.max()
 
 
 def test_f32_warm_sequence_tracks_oracle(ticks):
@@ -120,7 +139,9 @@ def test_f32_warm_sequence_tracks_oracle(ticks):
         errs.append(np.abs(np.asarray(tau, np.float64) - o_tau).max())
     errs = np.asarray(errs)
     assert np.isfinite(errs).all()
-    assert errs.mean() < 0.4, errs.mean()
+    # measured mean ~8e-4 Nm (round 4); budget tightened 0.4 -> 0.02 per
+    # VERDICT.md round-3 item 4 (tau scale: tau_max = 2.7 Nm)
+    assert errs.mean() < 0.02, errs.mean()
 
 
 def test_batched_vs_single_consistency(ticks):
