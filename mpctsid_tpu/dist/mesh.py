@@ -53,6 +53,25 @@ def shard_scenarios(mesh: Mesh, tree):
         lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_scenarios_multihost(mesh: Mesh, tree):
+    """Multi-process variant of shard_scenarios (BASELINE.json:11 "N>=2
+    hosts"): each process passes ITS (B_local, ...) slice of the scenario
+    batch; returns global jax.Arrays of shape (B_local * process_count, ...)
+    sharded over the scenario axis, built without any cross-host data
+    movement.  Requires jax.distributed.initialize() to have run and `mesh`
+    to span all processes' devices.  Exercised by the two-process CPU test
+    (tests/test_dist.py::test_two_process_distributed_cascade)."""
+    import numpy as np
+    sharding = NamedSharding(mesh, P(AXIS))
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, gshape)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def sharded_cascade_rollout(cc: CascadeConfigured, mesh: Mesh, n_periods: int,
                             **solver_kw):
     """Returns a jitted function running the batched cascade sharded over the

@@ -17,11 +17,13 @@ from mpctsid_tpu.oracle import dynamics as dyn
 
 class ComplementaryEstimator:
     def __init__(self, tree: KinematicTree, q0: np.ndarray, dt: float = 0.001,
-                 alpha_tilt: float = 0.02, alpha_vel: float = 0.97):
+                 alpha_tilt: float = 0.02, alpha_vel: float = 0.97,
+                 alpha_z: float = 0.05):
         self.tree = tree
         self.dt = dt
         self.alpha_tilt = alpha_tilt   # accelerometer correction gain
         self.alpha_vel = alpha_vel     # leg-odometry low-pass (higher = trust odometry less)
+        self.alpha_z = alpha_z         # stance-kinematics height blend per tick
         self.q = q0.copy()
         self.v = np.zeros(18)
 
@@ -31,9 +33,11 @@ class ComplementaryEstimator:
                base_pos_hint: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
         """One 1 kHz update; returns the current (q(19,), v(18,)) estimate.
 
-        base_pos_hint, when provided (sim ground truth or mocap), overrides the
-        drifting integrated base position — the reference similarly relies on
-        PyBullet/mocap for absolute position in sim (SURVEY.md §2.1 [K-MED])."""
+        Base HEIGHT is always estimated from stance-leg kinematics (the
+        reference derives height the same way, SURVEY.md §3.5).  base_pos_hint,
+        when provided (sim ground truth or mocap), overrides only the drifting
+        integrated x-y — the reference similarly relies on PyBullet/mocap for
+        absolute planar position in sim (SURVEY.md §2.1 [K-MED])."""
         dt = self.dt
         # joints come straight from the encoders
         self.q[7:] = q_joints
@@ -74,9 +78,19 @@ class ComplementaryEstimator:
             v_lin = v_lin_prev + dt * (a_local - np.cross(gyro, v_lin_prev))
 
         self.v = np.concatenate([v_lin, gyro, qd_joints])
-        # --- base position: integrate (or take hint)
+        # --- base x-y: integrate (or take hint)
         if base_pos_hint is not None:
-            self.q[0:3] = base_pos_hint
+            self.q[0:2] = base_pos_hint[0:2]
         else:
-            self.q[0:3] = self.q[0:3] + dt * (R0 @ v_lin)
+            self.q[0:2] = self.q[0:2] + dt * (R0 @ v_lin)[0:2]
+        # --- base z: stance-leg kinematics blended with the velocity integral
+        # ((foot_z - base_z) is independent of the current base-z estimate)
+        z_int = self.q[2] + dt * (R0 @ v_lin)[2]
+        if n_st > 0:
+            feet_w = dyn.DynState(self.tree, self.q).foot_positions()
+            z_kin = self.q[2] - float(
+                (feet_w[:, 2] * contacts).sum() / n_st)
+            self.q[2] = (1.0 - self.alpha_z) * z_int + self.alpha_z * z_kin
+        else:
+            self.q[2] = z_int
         return self.q.copy(), self.v.copy()

@@ -331,13 +331,15 @@ def admm_iterate_packed(K_inv, K, A, q, l, u, rho_vec, x, z, y,
 # fixed-iteration ADMM + rho adaptation, one pallas_call per solve
 # ---------------------------------------------------------------------------
 #
-# STATUS: interpret-mode parity-tested vs qp/admm.py (tests/test_pallas_admm);
-# on the real chip the Mosaic TC compiler currently SIGABRTs on the blocked-
-# Cholesky recursion's odd-offset (h=15/96) sub-tile concatenates
-# (scripts/bench_backends.py round-3 A/B).  The production TPU path is the
-# "pallas_vpu" iteration kernel (VMEM-resident K/K_inv, measured 51.2k
-# cascade ticks/s at B=1024); "fused" stays an opt-in experiment until the
-# recursion is re-tiled to lane-aligned block sizes.
+# STATUS (round 4): compiles and passes parity on real Mosaic (max dx 1.2e-4
+# vs XLA over 8 QPs) after the 8x8-base-case re-tiling + two-step reductions
+# (see _split/_sum2).  Full-cascade A/B on the chip (scripts/bench_backends.py,
+# B=1024 trot): wbc_backend="fused" 27.7k ticks/s vs "xla" 51.2k;
+# mpc_backend="fused" 25.6k vs "pallas_vpu" 51.2k — the in-kernel VPU-serial
+# Ruiz + blocked-Cholesky recursion cannot beat XLA's batched GEMM
+# factorization at B=1024, so "fused" stays a correct opt-in (its win case
+# would be small-batch / latency-bound regimes) and "auto" keeps
+# pallas_vpu + xla.
 #
 # Why: the XLA path of a WBC-sized solve (n=30, m=50) is ~320 separate tiny
 # device ops (8 Ruiz rounds, 3 K builds, 3 recursive blocked-Cholesky

@@ -69,3 +69,33 @@ def test_estimator_in_the_loop_trot():
     x = np.asarray(metrics["x_srb"])
     assert np.all(x[:, 2] > 0.15), "fell with estimator in the loop"
     assert x[-1, 0] > 0.02, "no forward progress"
+
+
+def test_height_estimated_from_stance_kinematics():
+    """VERDICT.md round-3 weak #5 / item 8: base z must be ESTIMATED, not
+    adopted from the hint.  Start the estimator 3 cm high; with all feet in
+    stance the kinematic-height blend must pull z back to the true standing
+    height, even while an (x, y)-only hint is supplied."""
+    q_true = np.zeros(19, np.float32)
+    q_true[2] = M.h_ref
+    q_true[6] = 1.0
+    q_true[7:] = M.q_stand
+
+    q_bad = q_true.copy()
+    q_bad[2] += 0.03
+    est = estimator_init(jnp.asarray(q_bad))
+    upd = jax.jit(functools.partial(estimator_update, TREE))
+    contacts = jnp.ones(4, F32)
+    gyro = jnp.zeros(3, F32)
+    accel = jnp.asarray([0.0, 0.0, 9.81], F32)
+    qj = jnp.asarray(q_true[7:])
+    qdj = jnp.zeros(12, F32)
+    hint = jnp.asarray(q_true[0:3])
+    for _ in range(150):
+        est = upd(est, gyro, accel, qj, qdj, contacts, base_pos_hint=hint)
+    z = float(est.q[2])
+    assert abs(z - M.h_ref) < 0.003, z     # converged to the true height
+    # and it must NOT be the hint's z verbatim copied in one step
+    est1 = upd(estimator_init(jnp.asarray(q_bad)), gyro, accel, qj, qdj,
+               contacts, base_pos_hint=jnp.asarray(q_true[0:3]))
+    assert abs(float(est1.q[2]) - (M.h_ref + 0.03)) < 0.005
