@@ -266,6 +266,11 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         "tau_rms": jnp.sqrt(jnp.mean(taus ** 2)),
         "fz_sum": f_grounds[..., 2].sum(axis=-1).mean(),
         "mpc_prim_res": mpc_sol.prim_res,
+        # dual (stationarity) residual |Px + q + A'y|_inf: guards quoted
+        # numbers against "0.0 primal residual" being the only correctness
+        # signal (VERDICT.md round-3 weak #4 — strictly-interior solutions
+        # have prim 0 regardless of solution quality)
+        "mpc_dual_res": mpc_sol.dual_res,
         # per-scenario solve-status vector (SURVEY.md §5.3)
         "mpc_ok": mpc_ok,
         "wbc_ok_frac": wbc_oks.astype(dtype).mean(),

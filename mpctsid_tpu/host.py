@@ -53,10 +53,15 @@ F32 = jnp.float32
 class HostController:
     """compute(q, v) -> torques at the WBC rate; MPC solves never block."""
 
+    # telemetry record layout (TELEM_LEN floats per 1 kHz tick):
+    # [tick, phase, wbc_ok, tau_0..tau_11]
+    TELEM_LEN = 15
+
     def __init__(self, model: Solo12Model, cfg: EngineConfig,
                  q0: np.ndarray, async_mpc: bool = False,
                  mpc_iters: int = 100, mpc_rounds: int = 4,
-                 wbc_iters: int = 60, wbc_rounds: int = 3):
+                 wbc_iters: int = 60, wbc_rounds: int = 3,
+                 telemetry: bool = False):
         self.model = model
         self.cfg = cfg
         self.tree = build_tree(model)
@@ -131,6 +136,14 @@ class HostController:
         self._mpc = _mpc
         self._wbc = _wbc
         self._swing_ref = _swing_ref
+
+        # per-tick telemetry through the native wait-free ring (SURVEY.md
+        # §5.5 host path): push costs no allocation/locks in the 1 kHz loop;
+        # drain_telemetry() from any other thread
+        self._telem = None
+        if telemetry:
+            from mpctsid_tpu.native import TelemetryRing
+            self._telem = TelemetryRing(self.TELEM_LEN, capacity=8192)
 
         if async_mpc:
             from mpctsid_tpu.native import PlanBuffer
@@ -207,10 +220,25 @@ class HostController:
         if not bool(ok):
             q_des = np.asarray(self.model.q_stand, np.float32)
             qd_des = np.zeros(12, np.float32)
+        tau_cmd = np.clip(tau_ff + 6.0 * (q_des - qn[7:])
+                          + 0.3 * (qd_des - vn[6:]),
+                          -cfg.wbc.tau_max, cfg.wbc.tau_max)
+        if self._telem is not None:
+            rec = np.empty(self.TELEM_LEN, np.float32)
+            rec[0] = self.k
+            rec[1] = self.phase
+            rec[2] = float(bool(ok))
+            rec[3:15] = tau_cmd
+            self._telem.push(rec)
         self.k += 1
-        return np.clip(tau_ff + 6.0 * (q_des - qn[7:])
-                       + 0.3 * (qd_des - vn[6:]),
-                       -cfg.wbc.tau_max, cfg.wbc.tau_max)
+        return tau_cmd
+
+    def drain_telemetry(self, max_records: int = 4096) -> np.ndarray:
+        """(n, TELEM_LEN) records accumulated since the last drain (empty
+        array when telemetry is off)."""
+        if self._telem is None:
+            return np.empty((0, self.TELEM_LEN), np.float32)
+        return self._telem.pop(max_records)
 
     def _on_period_boundary(self, q, v, v_cmd):
         cfg = self.cfg

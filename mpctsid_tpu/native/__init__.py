@@ -1,3 +1,4 @@
-from mpctsid_tpu.native.runtime import PlanBuffer, RtExecutor, ensure_built
+from mpctsid_tpu.native.runtime import (PlanBuffer, RtExecutor, TelemetryRing,
+                                        ensure_built)
 
-__all__ = ["PlanBuffer", "RtExecutor", "ensure_built"]
+__all__ = ["PlanBuffer", "RtExecutor", "TelemetryRing", "ensure_built"]

@@ -59,6 +59,17 @@ def ensure_built() -> ctypes.CDLL:
         lib.rt_executor_max_jitter_us.argtypes = [ctypes.c_void_p]
         lib.rt_executor_mean_jitter_us.restype = ctypes.c_double
         lib.rt_executor_mean_jitter_us.argtypes = [ctypes.c_void_p]
+        lib.telemetry_ring_create.restype = ctypes.c_void_p
+        lib.telemetry_ring_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.telemetry_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.telemetry_ring_push.restype = ctypes.c_int
+        lib.telemetry_ring_push.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.telemetry_ring_pop.restype = ctypes.c_int
+        lib.telemetry_ring_pop.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.telemetry_ring_dropped.restype = ctypes.c_int64
+        lib.telemetry_ring_dropped.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -87,6 +98,45 @@ class PlanBuffer:
     def __del__(self):
         try:
             self._lib.plan_buffer_destroy(self._h)
+        except Exception:
+            pass
+
+
+class TelemetryRing:
+    """Wait-free SPSC ring of fixed-size float records (native-backed).
+
+    The 1 kHz control loop `push`es one record per tick — no allocation,
+    locks, or syscalls, and NEVER blocks (a full ring drops the record and
+    counts it).  A logger thread `pop`s batches.  Host analog of the
+    reference's preallocated-array logger (SURVEY.md §5.5)."""
+
+    def __init__(self, record_len: int, capacity: int = 4096):
+        self._lib = ensure_built()
+        self._len = record_len
+        self._h = ctypes.c_void_p(
+            self._lib.telemetry_ring_create(record_len, capacity))
+
+    def push(self, record: np.ndarray) -> bool:
+        arr = np.ascontiguousarray(record, dtype=np.float32).reshape(-1)
+        assert arr.size == self._len
+        return bool(self._lib.telemetry_ring_push(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))))
+
+    def pop(self, max_records: int = 1024) -> np.ndarray:
+        """Drain up to max_records; returns an (n, record_len) array."""
+        out = np.empty((max_records, self._len), np.float32)
+        n = self._lib.telemetry_ring_pop(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_records)
+        return out[:n]
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.telemetry_ring_dropped(self._h))
+
+    def __del__(self):
+        try:
+            self._lib.telemetry_ring_destroy(self._h)
         except Exception:
             pass
 

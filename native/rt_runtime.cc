@@ -15,6 +15,14 @@
 //   * RtExecutor   — monotonic-clock periodic executor: drives a callback at a
 //                    fixed period (absolute-deadline scheduling, no drift) and
 //                    records jitter / overrun statistics.
+//   * TelemetryRing — wait-free SPSC ring of fixed-size float records: the
+//                    1 kHz loop pushes one record per tick with no allocation,
+//                    locks, or syscalls; a logger thread drains batches.  The
+//                    producer NEVER blocks: a full ring drops the record and
+//                    counts it (hard-RT choice — losing a telemetry sample
+//                    beats missing a control deadline).  Replaces the
+//                    reference's preallocated-numpy-array logger (SURVEY.md
+//                    §5.5) for the host deployment path.
 //
 // Exposed through a C ABI for ctypes (mpctsid_tpu/native/runtime.py) — the
 // environment has no pybind11; ctypes needs no build-time Python deps.
@@ -113,9 +121,73 @@ struct RtExecutor {
   RtStats stats_;
 };
 
+struct TelemetryRing {
+  // capacity is rounded up to a power of two so index masking is branch-free.
+  TelemetryRing(int record_len, int capacity) : len_(record_len) {
+    cap_ = 1;
+    while (cap_ < capacity) cap_ <<= 1;
+    data_ = new float[static_cast<size_t>(cap_) * len_];
+    head_.store(0);
+    tail_.store(0);
+    dropped_.store(0);
+  }
+  ~TelemetryRing() { delete[] data_; }
+
+  // producer (1 kHz loop): wait-free, never blocks; false = dropped (full).
+  bool push(const float* rec) {
+    uint64_t h = head_.load(std::memory_order_relaxed);
+    uint64_t t = tail_.load(std::memory_order_acquire);
+    if (h - t >= static_cast<uint64_t>(cap_)) {
+      dropped_.fetch_add(1, std::memory_order_relaxed);
+      return false;
+    }
+    std::memcpy(data_ + (h & (cap_ - 1)) * len_, rec,
+                sizeof(float) * len_);
+    head_.store(h + 1, std::memory_order_release);
+    return true;
+  }
+
+  // consumer (logger thread): drain up to max_records; returns count.
+  int pop(float* dst, int max_records) {
+    uint64_t t = tail_.load(std::memory_order_relaxed);
+    uint64_t h = head_.load(std::memory_order_acquire);
+    int n = static_cast<int>(h - t);
+    if (n > max_records) n = max_records;
+    for (int i = 0; i < n; ++i) {
+      std::memcpy(dst + static_cast<size_t>(i) * len_,
+                  data_ + ((t + i) & (cap_ - 1)) * len_,
+                  sizeof(float) * len_);
+    }
+    tail_.store(t + n, std::memory_order_release);
+    return n;
+  }
+
+  int len_;
+  int cap_;
+  float* data_;
+  std::atomic<uint64_t> head_, tail_, dropped_;
+};
+
 }  // namespace
 
 extern "C" {
+
+void* telemetry_ring_create(int record_len, int capacity) {
+  return new TelemetryRing(record_len, capacity);
+}
+void telemetry_ring_destroy(void* tr) {
+  delete static_cast<TelemetryRing*>(tr);
+}
+int telemetry_ring_push(void* tr, const float* rec) {
+  return static_cast<TelemetryRing*>(tr)->push(rec) ? 1 : 0;
+}
+int telemetry_ring_pop(void* tr, float* dst, int max_records) {
+  return static_cast<TelemetryRing*>(tr)->pop(dst, max_records);
+}
+int64_t telemetry_ring_dropped(void* tr) {
+  return static_cast<int64_t>(
+      static_cast<TelemetryRing*>(tr)->dropped_.load());
+}
 
 void* plan_buffer_create(int n) { return new PlanBuffer(n); }
 void plan_buffer_destroy(void* pb) { delete static_cast<PlanBuffer*>(pb); }

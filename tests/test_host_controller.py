@@ -92,3 +92,31 @@ def test_sync_matches_cascade_engine_first_period():
 
     np.testing.assert_allclose(np.asarray(plant.state.q),
                                np.asarray(plant_e2.q), atol=5e-3)
+
+
+def test_host_telemetry_ring_records_every_tick():
+    """telemetry=True: one native-ring record per compute() with the tick
+    index, phase, WBC status and the commanded torques — drained off-thread
+    without ever blocking the loop (SURVEY.md §5.5 host path)."""
+    cfg = EngineConfig(gait="trot", v_ref=(0.25, 0.0, 0.0))
+    q0 = standing_q0()
+    plant = SimPlant(build_tree(M), jnp.asarray(q0))
+    ctl = HostController(M, cfg, q0, async_mpc=False, telemetry=True)
+    n = 40
+    taus = []
+    try:
+        for k in range(n):
+            s = plant.read()
+            tau = ctl.compute(np.asarray(s.q), np.asarray(s.v))
+            plant.apply(jnp.asarray(tau, jnp.float32))
+            taus.append(tau)
+    finally:
+        ctl.close()
+    rec = ctl.drain_telemetry()
+    assert rec.shape == (n, HostController.TELEM_LEN)
+    np.testing.assert_array_equal(rec[:, 0], np.arange(n, dtype=np.float32))
+    assert set(np.unique(rec[:, 1])) <= {0.0, 1.0}   # phases 0..1 in 2 periods
+    np.testing.assert_allclose(rec[:, 3:], np.stack(taus), atol=1e-6)
+    assert ctl._telem.dropped == 0
+    # drained: second drain is empty
+    assert ctl.drain_telemetry().shape[0] == 0

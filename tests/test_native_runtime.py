@@ -102,3 +102,56 @@ def test_one_solve_stale_pattern():
     assert ids[0] <= 1
     assert ids[-1] >= 4
     assert np.all(np.diff(ids) >= 0), "plan ids must be monotone"
+
+
+def test_telemetry_ring_roundtrip_and_drop_count():
+    from mpctsid_tpu.native import TelemetryRing
+
+    tr = TelemetryRing(4, capacity=8)   # rounds to 8 slots
+    for i in range(8):
+        assert tr.push(np.full(4, float(i), np.float32))
+    # ring full: further pushes are DROPPED (producer never blocks)
+    assert not tr.push(np.zeros(4, np.float32))
+    assert tr.dropped == 1
+    out = tr.pop()
+    assert out.shape == (8, 4)
+    np.testing.assert_array_equal(out[:, 0], np.arange(8, dtype=np.float32))
+    # drained: space again, FIFO order preserved across wrap
+    assert tr.push(np.full(4, 99.0, np.float32))
+    out = tr.pop()
+    assert out.shape == (1, 4)
+    assert out[0, 0] == 99.0
+
+
+def test_telemetry_ring_concurrent_producer_consumer():
+    """1 kHz-loop shape: one producer pushing sequence-stamped records, one
+    consumer draining — every record that is not counted dropped must arrive
+    exactly once, in order."""
+    from mpctsid_tpu.native import TelemetryRing
+
+    tr = TelemetryRing(2, capacity=64)
+    N = 20000
+    got = []
+    stop = threading.Event()
+
+    def consumer():
+        while not stop.is_set() or True:
+            out = tr.pop(256)
+            if out.size:
+                got.append(out.copy())
+            if stop.is_set() and tr.pop(256).size == 0:
+                break
+            time.sleep(0)
+
+    th = threading.Thread(target=consumer)
+    th.start()
+    pushed = []
+    for i in range(N):
+        rec = np.asarray([i, 2 * i], np.float32)
+        if tr.push(rec):
+            pushed.append(i)
+    stop.set()
+    th.join(timeout=10)
+    seq = np.concatenate([g[:, 0] for g in got]) if got else np.empty(0)
+    assert len(seq) == len(pushed)
+    np.testing.assert_array_equal(seq, np.asarray(pushed, np.float32))

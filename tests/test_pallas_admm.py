@@ -57,6 +57,20 @@ def test_pallas_interpret_matches_xla(seed, backend):
                                atol=1e-2)
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_fused_pads_non_multiple_of_8(seed):
+    """WBC-sized QPs (n=30) exercise the fused front-end's n->32 padding
+    (identity-diagonal rows; see admm_solve_fused_batch).  The padded solve
+    must match XLA on the unpadded problem."""
+    P, q, A, l, u = random_qp(seed, n=30, m=50)
+    kw = dict(iters=60, adapt_rounds=2, rho=0.1)
+    s_x = admm_solve(P, q, A, l, u, backend="xla", **kw)
+    s_p = admm_solve(P, q, A, l, u, backend="fused",
+                     backend_interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(s_p.x), np.asarray(s_x.x),
+                               atol=1e-3)
+
+
 @pytest.mark.parametrize("backend", ["pallas", "pallas_packed", "fused"])
 def test_pallas_interpret_matches_xla_batched(backend):
     # pallas_packed and fused go through custom_vmap (G-packed grid); the
