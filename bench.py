@@ -20,7 +20,7 @@ dispatch/transfer overhead (this environment's remote-TPU tunnel makes
 per-call timing and block_until_ready unusable).  One "cascade solve" is one
 full control tick: a WBC (TSID) QP solve + plant step plus its amortized
 1/20th share of the 50 Hz centroidal MPC solve (QP build + footstep plan +
-100-iteration adaptive-rho ADMM).
+adaptive-rho ADMM at the production budget, config.py SolverConfig).
 
 vs_baseline: the reference publishes no numbers (BASELINE.json:13); the
 contract target is >=10,000 cascade solves/s on a v5e-8, i.e. 1,250 per chip
@@ -222,7 +222,9 @@ def measure_latency():
         def body(carry, _):
             x_p, y_p = carry
             sol = admm_solve(P, q_lin + 1e-7 * x_p.mean(), A, l, u,
-                             x0=x_p, y0=y_p, iters=100, adapt_rounds=4,
+                             x0=x_p, y0=y_p,
+                             iters=cfg.solver.mpc_iters,
+                             adapt_rounds=cfg.solver.mpc_adapt_rounds,
                              rho=0.1)
             return (sol.x, sol.y), ()
 
@@ -466,7 +468,7 @@ def _roofline_section():
     lines += [
         "",
         "Interpretation (measured round 4): the cascade is **HBM-bound, "
-        "not MXU-bound** — the dominant stage (the 100-iteration MPC ADMM "
+        "not MXU-bound** — the dominant stage (the MPC ADMM "
         "solve, ~70% of the period) streams the per-scenario K/K^-1/A "
         "matrices at 290 GB/s (35% of peak) under XLA and at an effective "
         "418 GB/s (51%) under the production pallas_vpu kernel, which is "

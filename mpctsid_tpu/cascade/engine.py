@@ -115,8 +115,8 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    plant: PlantState, gait_id, v_cmd,
                    contact_params: ContactParams,
                    est=None, use_estimator: bool = False,
-                   mpc_iters: int = 100, mpc_rounds: int = 4,
-                   wbc_iters: int = 60, wbc_rounds: int = 3,
+                   mpc_iters: int = None, mpc_rounds: int = None,
+                   wbc_iters: int = None, wbc_rounds: int = None,
                    mpc_backend: str = None, wbc_backend: str = None,
                    payload=None, payload_known: bool = True):
     """One 20 ms MPC period: plan + MPC solve + mpc_every WBC/plant ticks.
@@ -140,6 +140,16 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         mpc_backend = cfg.solver.mpc_backend
     if wbc_backend is None:
         wbc_backend = cfg.solver.wbc_backend
+    # solver budgets default from the config tree (SURVEY.md §5.6); explicit
+    # kwargs (benches, A/B scripts, parity tests) override
+    if mpc_iters is None:
+        mpc_iters = cfg.solver.mpc_iters
+    if mpc_rounds is None:
+        mpc_rounds = cfg.solver.mpc_adapt_rounds
+    if wbc_iters is None:
+        wbc_iters = cfg.solver.wbc_iters
+    if wbc_rounds is None:
+        wbc_rounds = cfg.solver.wbc_adapt_rounds
     dtype = plant.q.dtype
     # payload spatial inertia: the plant truth always carries it; the
     # controller's dynamics see it only when payload_known

@@ -74,6 +74,18 @@ class SolverConfig:
     sigma: float = 1e-6
     alpha: float = 1.6             # over-relaxation
     iters: int = 60                # fixed iteration count on device (SURVEY.md §7.3)
+    # In-cascade device solver budgets (fixed trip counts; SURVEY.md §7.3).
+    # MPC 80 iters / 2 adapt rounds: the round-4 A/B measured mean dual
+    # residual 2.0e-6 — indistinguishable from 100/4 (1.8e-6) — while the
+    # two dropped refactorizations raise the B=1024 cascade from 51.1k to
+    # 60.5k ticks/s (the factorization is the HBM-bound stage, RESULTS.md
+    # roofline).  1 round degrades the dual residual 1000x (2.9e-3): the
+    # rho adaptation needs at least one refactor.  Parity-tier solves
+    # (tests, oracle comparisons) pass their own higher budgets explicitly.
+    mpc_iters: int = 80
+    mpc_adapt_rounds: int = 2
+    wbc_iters: int = 60
+    wbc_adapt_rounds: int = 3
     # device QP backends (qp/admm.py): "auto" resolves to the Pallas VPU
     # iteration kernel on TPU and XLA elsewhere; "fused" is the one-pallas_call
     # solver (Ruiz + Cholesky inverse + iterations in VMEM); "xla" the plain

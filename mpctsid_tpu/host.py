@@ -59,9 +59,16 @@ class HostController:
 
     def __init__(self, model: Solo12Model, cfg: EngineConfig,
                  q0: np.ndarray, async_mpc: bool = False,
-                 mpc_iters: int = 100, mpc_rounds: int = 4,
-                 wbc_iters: int = 60, wbc_rounds: int = 3,
+                 mpc_iters: int = None, mpc_rounds: int = None,
+                 wbc_iters: int = None, wbc_rounds: int = None,
                  telemetry: bool = False):
+        # solver budgets default from the config tree (engine.py parity)
+        mpc_iters = cfg.solver.mpc_iters if mpc_iters is None else mpc_iters
+        mpc_rounds = (cfg.solver.mpc_adapt_rounds if mpc_rounds is None
+                      else mpc_rounds)
+        wbc_iters = cfg.solver.wbc_iters if wbc_iters is None else wbc_iters
+        wbc_rounds = (cfg.solver.wbc_adapt_rounds if wbc_rounds is None
+                      else wbc_rounds)
         self.model = model
         self.cfg = cfg
         self.tree = build_tree(model)

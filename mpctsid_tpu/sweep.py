@@ -85,13 +85,16 @@ def scenario_params(seed: int, idx: np.ndarray):
     """Deterministic per-scenario draws, independent of chunking.
 
     Each scenario's RNG is seeded by (seed, index), so chunk boundaries and
-    resume points cannot change any scenario's parameters."""
+    resume points cannot change any scenario's parameters.  Draws cover the
+    BASELINE.json:9-11 perturbation axes: gait, velocity command, friction,
+    and payload mass (0-0.4 kg point mass at the base)."""
     from mpctsid_tpu.model.gaits import GAIT_IDS
 
     gaits = ["trot", "walk", "bound"]
     gids = np.empty(len(idx), np.int32)
     vcs = np.empty((len(idx), 3), np.float32)
     mus = np.empty(len(idx), np.float32)
+    payloads = np.empty(len(idx), np.float32)
     for j, i in enumerate(idx):
         r = np.random.default_rng([seed, int(i)])
         g = gaits[int(r.integers(0, len(gaits)))]
@@ -100,7 +103,8 @@ def scenario_params(seed: int, idx: np.ndarray):
         vcs[j] = [r.uniform(0.05, vmax), r.uniform(-0.05, 0.05),
                   r.uniform(-0.2, 0.2)]
         mus[j] = r.uniform(0.45, 1.0)
-    return gids, vcs, mus
+        payloads[j] = r.uniform(0.0, 0.4)
+    return gids, vcs, mus, payloads
 
 
 @functools.lru_cache(maxsize=4)
@@ -121,13 +125,13 @@ def _chunk_runner(chunk: int, n_periods: int):
     q0[7:] = model.q_stand
     q0 = jnp.asarray(q0)
 
-    def one(gid, vc, mu):
-        ctl = init_controller(model, cfg, cc.tree, q0, gid)
+    def one(gid, vc, mu, payload):
+        ctl = init_controller(model, cfg, cc.tree, q0, gid, payload=payload)
         plant = PlantState.init(q0)
         cp = ContactParams.default()
         cp = dataclasses.replace(cp, mu=mu)
         ctl, plant, m = cascade_rollout(cc, ctl, plant, gid, vc, cp,
-                                        n_periods=n_periods)
+                                        n_periods=n_periods, payload=payload)
         x = m["x_srb"]
         return {
             "final_z": x[-1, 2],
@@ -153,14 +157,17 @@ def run_sweep(state: SweepState, chunk: int, ckpt_path: str | None = None,
         lo = state.cursor
         hi = min(lo + chunk, state.total)
         idx = np.arange(lo, hi)
-        gids, vcs, mus = scenario_params(state.seed, idx)
+        gids, vcs, mus, payloads = scenario_params(state.seed, idx)
         # fixed-shape chunk: pad the tail by repeating the last scenario
         pad = chunk - len(idx)
         if pad:
             gids = np.concatenate([gids, np.repeat(gids[-1:], pad)])
             vcs = np.concatenate([vcs, np.repeat(vcs[-1:], pad, 0)])
             mus = np.concatenate([mus, np.repeat(mus[-1:], pad)])
-        out = runner(jnp.asarray(gids), jnp.asarray(vcs), jnp.asarray(mus))
+            payloads = np.concatenate(
+                [payloads, np.repeat(payloads[-1:], pad)])
+        out = runner(jnp.asarray(gids), jnp.asarray(vcs), jnp.asarray(mus),
+                     jnp.asarray(payloads))
         out = {k: np.asarray(v)[:len(idx)] for k, v in out.items()}
         for k in METRIC_KEYS:
             state.metrics[k][lo:hi] = out[k]

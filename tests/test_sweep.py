@@ -17,12 +17,15 @@ SEED = 7
 
 def test_scenario_params_chunk_invariant():
     """Per-scenario draws depend only on (seed, index), never on chunking."""
-    g_all, v_all, m_all = scenario_params(SEED, np.arange(TOTAL))
-    g_a, v_a, m_a = scenario_params(SEED, np.arange(0, 5))
-    g_b, v_b, m_b = scenario_params(SEED, np.arange(5, TOTAL))
+    g_all, v_all, m_all, p_all = scenario_params(SEED, np.arange(TOTAL))
+    g_a, v_a, m_a, p_a = scenario_params(SEED, np.arange(0, 5))
+    g_b, v_b, m_b, p_b = scenario_params(SEED, np.arange(5, TOTAL))
     np.testing.assert_array_equal(np.concatenate([g_a, g_b]), g_all)
     np.testing.assert_array_equal(np.concatenate([v_a, v_b]), v_all)
     np.testing.assert_array_equal(np.concatenate([m_a, m_b]), m_all)
+    np.testing.assert_array_equal(np.concatenate([p_a, p_b]), p_all)
+    # payload spread actually spans the draw range (BASELINE.json:9 "load")
+    assert p_all.min() >= 0.0 and p_all.max() <= 0.4 and p_all.std() > 0.05
 
 
 def test_interrupt_resume_bitwise(tmp_path):
