@@ -432,12 +432,12 @@ def write_results(headline_row, rows):
         "expose; the 8-device CPU-mesh row exercises the identical "
         "shard_map/psum code path.",
     ]
-    lines += _roofline_section()
+    lines += _roofline_section(headline_row, rows)
     with open("RESULTS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
-def _roofline_section():
+def _roofline_section(headline_row=None, rows=None):
     """Render ROOFLINE.json (scripts/roofline.py) if present."""
     try:
         with open("ROOFLINE.json") as f:
@@ -457,32 +457,52 @@ def _roofline_section():
         "|---|---|---|---|---|---|---|---|",
     ]
     for B in sorted(roof, key=int):
-        rows = roof[B]
-        for name, r in rows.items():
-            if not isinstance(r, dict) or "ms" not in r:
+        for name, st in roof[B].items():
+            if not isinstance(st, dict) or "ms" not in st:
                 continue
             lines.append(
-                f"| {B} | {name} | {r['ms']} | {r['tflops_s']} | "
-                f"{r['pct_mxu_f32']} | {r['gb_s']} | {r['pct_hbm']} | "
-                f"{r['bound']} |")
-    lines += [
-        "",
-        "Interpretation (measured round 4): the cascade is **HBM-bound, "
-        "not MXU-bound** — the dominant stage (the MPC ADMM "
-        "solve, ~70% of the period) streams the per-scenario K/K^-1/A "
-        "matrices at 290 GB/s (35% of peak) under XLA and at an effective "
-        "418 GB/s (51%) under the production pallas_vpu kernel, which is "
-        "where its 1.44x stage speedup comes from; MXU utilization is ~2% "
-        "because a 192-var QP simply has no large matmuls.  The WBC solve, "
-        "WBC build and plant stages run at >= the HBM stream rate of their "
-        "cost-model bytes (XLA fusion holds intermediates on-chip) — i.e. "
-        "at bandwidth speed-of-light for their op mix.  Batch-size knee: "
-        "throughput peaks at B=256 (53.3k ticks/s) and falls ~4%/~8% at "
-        "B=1024/4096 (51.1k/47.2k) as the working set leaves VMEM-friendly "
-        "sizes — per-scenario HBM traffic is constant but latency hiding "
-        "degrades, so the per-chip sweet spot for Monte-Carlo sweeps is "
-        "256-1024 scenarios per chip (shard larger batches across chips).",
-    ]
+                f"| {B} | {name} | {st['ms']} | {st['tflops_s']} | "
+                f"{st['pct_mxu_f32']} | {st['gb_s']} | {st['pct_hbm']} | "
+                f"{st['bound']} |")
+    # interpretation from the measured rows themselves (numbers track the
+    # current solver budgets automatically)
+    interp = []
+    r1k = roof.get("1024", {})
+    mx = r1k.get("mpc_solve_xla")
+    mv = r1k.get("mpc_solve_pallas_vpu")
+    fp = r1k.get("full_period")
+    if mx and mv and fp:
+        share = 100.0 * mv["ms"] / fp["ms"]
+        interp.append(
+            "Interpretation: the cascade is **HBM-bound, not MXU-bound** — "
+            f"the dominant stage (the MPC ADMM solve, ~{share:.0f}% of the "
+            "period under the production backend) streams the per-scenario "
+            f"K/K^-1/A matrices at {mx['gb_s']:.0f} GB/s "
+            f"({mx['pct_hbm']:.0f}% of peak) under XLA and at an effective "
+            f"{mv['gb_s']:.0f} GB/s ({mv['pct_hbm']:.0f}%) under the "
+            "production pallas_vpu kernel "
+            f"({mx['ms'] / mv['ms']:.2f}x stage speedup); MXU utilization "
+            f"is ~{mv['pct_mxu_f32']:.0f}% because a 192-var QP has no "
+            "large matmuls.  WBC solve/build and plant stages run at >= "
+            "the HBM stream rate of their cost-model bytes (XLA fusion "
+            "holds intermediates on-chip) — bandwidth speed-of-light for "
+            "their op mix.")
+    if headline_row and rows:
+        by_cfg = {r["config"]: r for r in rows}
+        b256 = by_cfg.get("config2_gait_sweep", {}).get("value")
+        b4k = by_cfg.get("config4_cascade_4k", {}).get("value")
+        b1k = headline_row.get("value")
+        if b256 and b4k and b1k:
+            interp.append(
+                f"Batch-size knee: throughput peaks near B=256 "
+                f"({b256:,.0f} ticks/s) vs {b1k:,.0f} at B=1024 and "
+                f"{b4k:,.0f} at B=4096 — per-scenario HBM traffic is "
+                "constant but latency hiding degrades at larger working "
+                "sets, so the per-chip sweet spot for Monte-Carlo sweeps "
+                "is 256-1024 scenarios (shard larger batches across "
+                "chips).")
+    if interp:
+        lines += ["", " ".join(interp)]
     return lines
 
 

@@ -72,8 +72,9 @@ def main(B=1024):
     # ---- MPC QP stage -----------------------------------------------------
     mpc_batch = _mpc_qp_batch(cc, args)
     for backend in ("xla", "pallas"):
-        s = functools.partial(admm_solve, iters=100, adapt_rounds=4, rho=0.1,
-                              backend=backend)
+        s = functools.partial(admm_solve, iters=cfg.solver.mpc_iters,
+                              adapt_rounds=cfg.solver.mpc_adapt_rounds,
+                              rho=0.1, backend=backend)
         out[f"mpc_{backend}_ms"] = round(time_solver(
             lambda P, q, A, l, u, x0, y0: s(P, q, A, l, u, x0=x0, y0=y0),
             mpc_batch), 2)
@@ -97,8 +98,9 @@ def main(B=1024):
     wbc_build = jax.jit(jax.vmap(wbc_qp_one))
     wbc_batch = wbc_build(plant_b.q, plant_b.v, gid_b)
     for backend in ("xla", "pallas"):
-        s = functools.partial(admm_solve, iters=60, adapt_rounds=3, rho=0.1,
-                              backend=backend, status_tol=0.5)
+        s = functools.partial(admm_solve, iters=cfg.solver.wbc_iters,
+                              adapt_rounds=cfg.solver.wbc_adapt_rounds,
+                              rho=0.1, backend=backend, status_tol=0.5)
         out[f"wbc_{backend}_ms"] = round(time_solver(
             lambda P, q, A, l, u, x0, y0: s(P, q, A, l, u, x0=x0, y0=y0),
             wbc_batch), 2)

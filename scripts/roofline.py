@@ -136,7 +136,9 @@ def main(B=1024):
             x, y = carry
             sol = jax.vmap(lambda P, q, A, l, u, x0, y0: admm_solve(
                 P, q + 1e-7 * x0.mean(), A, l, u, x0=x0, y0=y0,
-                iters=100, adapt_rounds=4, rho=0.1, backend=backend))(
+                iters=cfg.solver.mpc_iters,
+                adapt_rounds=cfg.solver.mpc_adapt_rounds,
+                rho=0.1, backend=backend))(
                     *batch, x, y)
             return (sol.x, sol.y)
         return step
@@ -173,7 +175,9 @@ def main(B=1024):
         x, y = carry
         sol = jax.vmap(lambda P, q, A, l, u, x0, y0: admm_solve(
             P, q + 1e-7 * x0.mean(), A, l, u, x0=x0, y0=y0,
-            iters=60, adapt_rounds=3, rho=0.1, status_tol=0.5,
+            iters=cfg.solver.wbc_iters,
+            adapt_rounds=cfg.solver.wbc_adapt_rounds,
+            rho=0.1, status_tol=0.5,
             backend="xla"))(*batch, x, y)
         return (sol.x, sol.y)
 
