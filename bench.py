@@ -81,9 +81,6 @@ def build_batch(cfg, B, gait_mix=None, mu_spread=False, payload_spread=False,
                        np.int32)
     rep = lambda x: jnp.broadcast_to(x, (B,) + x.shape)  # noqa: E731
 
-    # controller init is gait-dependent (initial stance set); vmap it
-    ctl_b = jax.vmap(lambda g: init_controller(model, cfg, cc.tree, q0, g))(
-        jnp.asarray(gids_np))
     plant_b = jax.tree_util.tree_map(rep, PlantState.init(q0))
 
     rng = np.random.default_rng(seed)
@@ -98,10 +95,19 @@ def build_batch(cfg, B, gait_mix=None, mu_spread=False, payload_spread=False,
         import dataclasses
         cp_b = dataclasses.replace(
             cp_b, mu=jnp.asarray(rng.uniform(0.4, 1.0, B), jnp.float32))
-    args = (ctl_b, plant_b, jnp.asarray(gids_np), vc_b, cp_b)
+    # controller init is gait-dependent (initial stance set) and, for
+    # payload batches, mass-dependent (the initial vertical-force warm start
+    # should assume the per-scenario mass, matching sweep.py); vmap it
     if payload_spread:
-        args = args + (jnp.asarray(rng.uniform(0.0, 0.5, B), jnp.float32),)
-    return cc, args
+        payload_b = jnp.asarray(rng.uniform(0.0, 0.5, B), jnp.float32)
+        ctl_b = jax.vmap(lambda g, pl: init_controller(
+            model, cfg, cc.tree, q0, g, payload=pl))(
+            jnp.asarray(gids_np), payload_b)
+        return cc, (ctl_b, plant_b, jnp.asarray(gids_np), vc_b, cp_b,
+                    payload_b)
+    ctl_b = jax.vmap(lambda g: init_controller(model, cfg, cc.tree, q0, g))(
+        jnp.asarray(gids_np))
+    return cc, (ctl_b, plant_b, jnp.asarray(gids_np), vc_b, cp_b)
 
 
 # ---------------------------------------------------------------------------
@@ -155,8 +161,18 @@ def measure_cascade(cc, args, periods=5, reps=3):
     # correctness guards on the same batch/length as the timed run
     _, _, metrics = rollout_fn(periods + 1)(*args)
     x = np.asarray(metrics["x_srb"])
+    # velocity-tracking guard (VERDICT.md round-4 weak #7: upright_frac alone
+    # scores a standing robot 1.0): body-frame forward velocity vs the
+    # commanded vx, averaged over the second half of the rollout (the first
+    # periods are transient from standstill)
+    vc = np.asarray(args[3])                     # (B, 3) commands
+    h = x.shape[1] // 2
+    yaw = x[:, h:, 5]
+    vx_body = (np.cos(yaw) * x[:, h:, 6] + np.sin(yaw) * x[:, h:, 7])
+    vx_err = np.abs(vx_body - vc[:, None, 0]).mean()
     guards = {
         "upright_frac": round(float((x[:, -1, 2] > 0.15).mean()), 4),
+        "mean_vx_err": round(float(vx_err), 4),
         "mean_mpc_res": float(np.asarray(metrics["mpc_prim_res"]).mean()),
         # dual/stationarity residual + WBC success fraction (VERDICT.md
         # round-3 item 10): prim 0.0 alone proves nothing for
@@ -423,6 +439,16 @@ def write_results(headline_row, rows):
     lines.append(fmt(headline_row))
     lines += [fmt(r) for r in rows]
     lines += [
+        "",
+        "Guard notes: `mean_mpc_res` (primal residual) is legitimately 0.0 — "
+        "the trot MPC solution is strictly interior to the clipped "
+        "friction/force bounds, so the primal violation of `clip(Ax, l, u)` "
+        "is exactly zero regardless of solution quality; `mean_mpc_dual_res` "
+        "(the stationarity residual) is the guard that actually tracks "
+        "solver accuracy, and `mean_vx_err` (body-frame forward-velocity "
+        "tracking error vs the command, second half of the rollout) is the "
+        "guard that keeps a standing-still batch from scoring a clean "
+        "headline.",
         "",
         "Scaling notes: the cascade is scenario-data-parallel; the only "
         "cross-chip traffic is the psum/pmax residual+metric summary "

@@ -73,7 +73,6 @@ class SolverConfig:
     rho: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6             # over-relaxation
-    iters: int = 60                # fixed iteration count on device (SURVEY.md §7.3)
     # In-cascade device solver budgets (fixed trip counts; SURVEY.md §7.3).
     # MPC 80 iters / 2 adapt rounds: the round-4 A/B measured mean dual
     # residual 2.0e-6 — indistinguishable from 100/4 (1.8e-6) — while the
