@@ -115,6 +115,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                    plant: PlantState, gait_id, v_cmd,
                    contact_params: ContactParams,
                    est=None, use_estimator: bool = False,
+                   est_mocap: bool = False,
                    mpc_iters: int = None, mpc_rounds: int = None,
                    wbc_iters: int = None, wbc_rounds: int = None,
                    mpc_backend: str = None, wbc_backend: str = None,
@@ -123,7 +124,12 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
 
     With use_estimator=True, the controller consumes the complementary-filter
     estimate (est/) fed by the plant's IMU + encoders instead of ground truth
-    (SURVEY.md §3.2 "estimator.update" first in the tick).
+    (SURVEY.md §3.2 "estimator.update" first in the tick).  By default the
+    estimator is HINT-FREE: base x-y comes from integrating the fused
+    velocity, drifting like the reference's leg-odometry does (SURVEY.md
+    §3.5 — the reference has no mocap).  est_mocap=True feeds the plant's
+    true base position as an external-position hint (the mocap/sim-truth
+    analog; VERDICT.md round-4 missing #4 made hint-free the default).
 
     payload: optional traced scalar (kg) — a point mass rigidly attached at
     the base origin; per-scenario DATA under vmap (BASELINE.json:9 "mu/load
@@ -181,11 +187,14 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
                         for k in range(cfg.mpc.horizon)])
     P, q_lin, A, l, u = build_mpc_qp(model, cfg.mpc, x_srb, x_ref, fsteps,
                                      cont_h, total_mass=ctl_mass)
-    # MPC backend: "auto" resolves to the Pallas iteration kernel on TPU
-    # (VMEM-resident K^-1/K/A; measured 276 -> 224 ms per B=1024 solve batch
-    # vs XLA, scripts/profile_components.py).  The WBC stage defaults to XLA:
-    # its 30-var matrices are too small for the per-scenario kernel (grid
-    # overhead measured 9x slower than XLA's batched GEMVs).
+    # MPC backend: "auto_mpc" resolves to the G-packed M2 Pallas kernel on
+    # TPU (VMEM-resident M2/A', refinement folded into one precomputed map,
+    # 8 scenarios per grid step; round-5 A/B 121.6 -> 73.0 ms per B=1024
+    # production solve batch vs pallas_vpu — scripts/profile_mpc_solve.py).
+    # Valid because this QP is inequality-only; see qp/admm.py.  The WBC
+    # stage defaults to XLA: its 30-var matrices are too small for the
+    # per-scenario kernel (grid overhead measured 9x slower than XLA's
+    # batched GEMVs) and its equality rows sit outside pallas_m2's domain.
     mpc_sol = admm_solve(P, q_lin, A, l, u,
                          x0=ctl.mpc_warm_x, y0=ctl.mpc_warm_y,
                          iters=mpc_iters, adapt_rounds=mpc_rounds, rho=0.1,
@@ -216,7 +225,8 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
             gyro, accel = imu_from_plant(tree, plant.q, plant.v)
             est_s = estimator_update(
                 tree, est_s, gyro, accel, plant.q[7:], plant.v[6:],
-                contacts, dt=wbc_dt, base_pos_hint=plant.q[0:3])
+                contacts, dt=wbc_dt,
+                base_pos_hint=plant.q[0:3] if est_mocap else None)
             q_t, v_t = est_s.q, est_s.v
         else:
             q_t, v_t = plant.q, plant.v
@@ -285,6 +295,10 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         "mpc_ok": mpc_ok,
         "wbc_ok_frac": wbc_oks.astype(dtype).mean(),
     }
+    if use_estimator:
+        # odometry-frame drift of the hint-free estimator vs plant truth
+        # (bounded by tests/test_estimator.py; stays 0 with est_mocap)
+        metrics["est_xy_err"] = jnp.linalg.norm(est.q[0:2] - plant.q[0:2])
     return new_ctl, plant, est, metrics
 
 

@@ -85,12 +85,16 @@ class SolverConfig:
     mpc_adapt_rounds: int = 2
     wbc_iters: int = 60
     wbc_adapt_rounds: int = 3
-    # device QP backends (qp/admm.py): "auto" resolves to the Pallas VPU
-    # iteration kernel on TPU and XLA elsewhere; "fused" is the one-pallas_call
-    # solver (Ruiz + Cholesky inverse + iterations in VMEM); "xla" the plain
-    # path.  WBC default stays XLA: its 30-var solves batch well under XLA's
-    # GEMMs (measured; see cascade/engine.py comment).
-    mpc_backend: str = "auto"
+    # device QP backends (qp/admm.py): "auto_mpc" resolves to the G-packed
+    # M2 Pallas kernel on TPU (valid for the inequality-only MPC QP; round-5
+    # A/B: 121.6 -> ~75 ms per B=1024 production solve batch vs pallas_vpu)
+    # and XLA elsewhere; "auto" resolves to the generic pallas_vpu kernel on
+    # TPU; "fused" is the one-pallas_call solver (Ruiz + Cholesky inverse +
+    # iterations in VMEM); "xla" the plain path.  WBC default stays XLA: its
+    # 30-var solves batch well under XLA's GEMMs (measured; see
+    # cascade/engine.py comment), and the equality-row rho boost puts it
+    # outside pallas_m2's validity domain.
+    mpc_backend: str = "auto_mpc"
     wbc_backend: str = "xla"
     eps_abs: float = 1e-8          # oracle convergence tolerance (CPU only)
     eps_rel: float = 1e-8
@@ -118,6 +122,29 @@ class EngineConfig:
     gait: str = "trot"
     batch: int = 1
     v_ref: Tuple[float, float, float] = (0.3, 0.0, 0.0)  # vx, vy, wz command
+
+
+# --- named WBC parity tier (BASELINE.json:5 "per-solve control error < 1e-4") --------
+#
+# The WBC stage's 1e-4-of-tau_max tier (budget 2.7e-4 Nm) runs the SAME
+# admm_solve algorithm in an f64 island with this budget, warm-started and
+# with the device-side active-set polish (polish_kkt=True at the call site).
+# Measured (tests/test_wbc_jax.py::test_wbc_parity_tier_under_1e4): mean
+# 1.9e-5 Nm, max 2.5e-5 — the formulation floor (identical to an exact f64
+# oracle solve of the same QPs).
+#
+# Why f64 is provably necessary here (round-5 error budget, measured on the
+# same 40 oracle ticks):
+#   * exact f64 solve on f32-CAST data:        mean 1.9e-5  (data precision
+#     is NOT the floor)
+#   * best f32 device solve (any budget tried, 60..300 iters, warm, polish
+#     on/off): mean 7.4e-4 — the f32 ADMM/factorization arithmetic through
+#     the cond~1e5 WBC KKT is the floor, 2.7x over the tier budget
+# Production stays f32 (SURVEY.md §7.3 "f64 islands only if provably
+# necessary"): the 7.4e-4 warm-sequence error is 0.03% of tau_max, far
+# below plant/discretization noise; the f64 island exists to prove the
+# contract number, not to run the cascade.
+WBC_PARITY_SOLVER = SolverConfig(wbc_iters=150, wbc_adapt_rounds=3)
 
 
 # --- named presets, one per BASELINE.json config line --------------------------------

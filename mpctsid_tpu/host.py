@@ -96,10 +96,20 @@ class HostController:
 
         self.mpc_warm = (jnp.zeros(N_MPC_VARS, F32),
                          jnp.zeros(N_MPC_ROWS, F32))
-        self.wbc_warm = (None, None)
+        # zeros (not None): a zero warm start IS the cold start, and a
+        # consistent pytree lets the warm buffers be DONATED to the jit —
+        # the device reuses them for the outputs instead of allocating +
+        # round-tripping fresh ones every tick (SURVEY.md §7.3 "donated
+        # buffers" dispatch mitigation; VERDICT.md round-4 weak #6)
+        self.wbc_warm = (jnp.zeros(30, F32), jnp.zeros(50, F32))
 
         # --- jitted device programs (donated warm starts) -----------------
-        @jax.jit
+        # The ok-selection (keep the previous warm start on a failed solve)
+        # happens IN-GRAPH so the caller can unconditionally adopt the
+        # returned buffers: with donation, the passed-in warm arrays are
+        # invalid after the call, so the old host-side `if ok:` pattern
+        # would hand a donated buffer back to the next tick.
+        @functools.partial(jax.jit, donate_argnums=(4, 5))
         def _mpc(x_srb, feet, phase, v_cmd, warm_x, warm_y):
             fsteps, next_td = plan_footsteps_horizon(
                 model, cfg.mpc, cfg.cascade, self.gid, phase, x_srb, v_cmd,
@@ -112,11 +122,13 @@ class HostController:
                                              fsteps, cont)
             sol = admm_solve(P, q_lin, A, l, u, x0=warm_x, y0=warm_y,
                              iters=mpc_iters, adapt_rounds=mpc_rounds,
-                             rho=0.1)
-            return (sol.x.reshape(self.horizon, 4, 3), sol.x, sol.y, sol.ok,
+                             rho=0.1, backend=cfg.solver.mpc_backend)
+            wx = jnp.where(sol.ok, sol.x, warm_x)
+            wy = jnp.where(sol.ok, sol.y, warm_y)
+            return (sol.x.reshape(self.horizon, 4, 3), wx, wy, sol.ok,
                     next_td)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(7, 8))
         def _wbc(q, v, contacts, f_used, pos, vel, acc, warm_x, warm_y):
             refs = WbcRefs(
                 contacts=contacts, f_mpc=f_used,
@@ -127,9 +139,12 @@ class HostController:
             tau, qdd, f, sol = solve_wbc(self.tree, cfg.wbc, q, v, refs,
                                          iters=wbc_iters,
                                          adapt_rounds=wbc_rounds,
-                                         warm_x=warm_x, warm_y=warm_y)
+                                         warm_x=warm_x, warm_y=warm_y,
+                                         backend=cfg.solver.wbc_backend)
             tau = jnp.clip(tau, -cfg.wbc.tau_max, cfg.wbc.tau_max)
-            return tau, qdd, sol.x, sol.y, sol.ok
+            wx = jnp.where(sol.ok, sol.x, warm_x)
+            wy = jnp.where(sol.ok, sol.y, warm_y)
+            return tau, qdd, wx, wy, sol.ok
 
         @jax.jit
         def _swing_ref(phase, t_frac, liftoff, touchdown):
@@ -172,8 +187,10 @@ class HostController:
             x_srb, feet, phase, v_cmd = snap
             plan, wx, wy, ok, _ = self._mpc(x_srb, feet, jnp.int32(phase),
                                             v_cmd, *self.mpc_warm)
+            # warm buffers are donated: always adopt the returned pair (the
+            # in-graph ok-select already kept the old values on failure)
+            self.mpc_warm = (wx, wy)
             if bool(ok):
-                self.mpc_warm = (wx, wy)
                 self._buf.publish(np.asarray(plan).reshape(-1), phase)
             # a failed solve publishes nothing: the consumer keeps the last
             # feasible plan (SURVEY.md §5.3)
@@ -210,8 +227,9 @@ class HostController:
                                         self.liftoff, self.touchdown)
         tau, qdd, wx, wy, ok = self._wbc(q, v, contacts, f_used,
                                          pos, vel, acc, *self.wbc_warm)
+        # donated warm buffers: always adopt (ok-select happens in-graph)
+        self.wbc_warm = (wx, wy)
         if bool(ok):
-            self.wbc_warm = (wx, wy)
             qdd_j = np.asarray(qdd)[6:]
             tau_ff = np.asarray(tau)
         else:  # impedance fallback (SURVEY.md §5.3)
@@ -285,9 +303,9 @@ class HostController:
             plan, wx, wy, ok, next_td = self._mpc(
                 x_srb, feet_now, jnp.int32(self.phase), v_cmd,
                 *self.mpc_warm)
+            self.mpc_warm = (wx, wy)   # donated buffers: always adopt
             if bool(ok):
                 self._pending_plan = (np.asarray(plan), self.phase)
-                self.mpc_warm = (wx, wy)
             # a failed solve leaves the pending slot empty: the current
             # f_plan keeps being consumed at deeper columns (SURVEY.md §5.3)
 

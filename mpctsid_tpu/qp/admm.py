@@ -80,32 +80,49 @@ def _ns_inverse(K, x0=None, iters: int = 16):
 def ruiz_equilibrate(P, q, A, l, u, iters: int = 8):
     """Modified-Ruiz equilibration of [[P, A'], [A, 0]] + cost scaling.
 
-    Returns (Pb, qb, Ab, lb, ub, D, E, c): x = D xb, y = E yb / c."""
+    Returns (Pb, qb, Ab, lb, ub, D, E, c): x = D xb, y = E yb / c.
+
+    NORM-ONLY iteration (round-5 rewrite): the loop carries just the scale
+    vectors (D, E, c) and reads the ORIGINAL P/A through weighted abs-max
+    reductions — the scaled matrix's column max is
+    max_i |c D_i P_ij D_j| = c D_j max_i(D_i |P_ij|) — then applies the
+    accumulated scaling ONCE at the end.  The previous form rescaled the
+    full (n,n)+(m,n) matrices every round: at B=1024/n=192 that is ~13 GB
+    of loop-carried HBM read+write traffic and was 15% of the whole MPC
+    solve (scripts/profile_mpc_solve.py: 20 ms of 133).  Read-only
+    reductions halve the traffic and drop the writes.  Same scales up to
+    fp reduction order; same guards (all-zero rows keep scale 1)."""
 
     def body(_, carry):
-        Pb, qb, Ab, D, E, c = carry
-        cn = jnp.maximum(jnp.max(jnp.abs(Pb), axis=0),
-                         jnp.max(jnp.abs(Ab), axis=0))
-        cm = jnp.max(jnp.abs(Ab), axis=1)
+        D, E, c = carry
+        # weighted column/row maxes of the CURRENT scaled matrices, computed
+        # from the originals:  Pb_ij = c D_i P_ij D_j,  Ab_ij = E_i A_ij D_j
+        wp = jnp.max(jnp.abs(P) * D[:, None], axis=0)       # max_i D_i|P_ij|
+        wa_col = jnp.max(jnp.abs(A) * E[:, None], axis=0)   # max_i E_i|A_ij|
+        wa_row = jnp.max(jnp.abs(A) * D[None, :], axis=1)   # max_j |A_ij|D_j
+        cn = jnp.maximum(c * D * wp, D * wa_col)
+        cm = E * wa_row
         # all-zero rows/cols (e.g. freed swing-contact rows) keep scale 1,
         # otherwise the 1e6 factor compounds to inf across rounds
         dn = jnp.where(cn < 1e-10, 1.0, jax.lax.rsqrt(jnp.maximum(cn, 1e-12)))
         dm = jnp.where(cm < 1e-10, 1.0, jax.lax.rsqrt(jnp.maximum(cm, 1e-12)))
-        Pb = dn[:, None] * Pb * dn[None, :]
-        qb = dn * qb
-        Ab = dm[:, None] * Ab * dn[None, :]
         D = D * dn
         E = E * dm
-        pcol = jnp.max(jnp.abs(Pb), axis=0)
+        # cost scaling vs the POST-dn matrices (matches the original order)
+        pcol = c * D * jnp.max(jnp.abs(P) * D[:, None], axis=0)
+        qb_max = c * jnp.max(jnp.abs(q) * D)
         gamma = 1.0 / jnp.maximum(
-            jnp.maximum(jnp.mean(pcol), jnp.max(jnp.abs(qb))), 1e-12)
-        return Pb * gamma, qb * gamma, Ab, D, E, c * gamma
+            jnp.maximum(jnp.mean(pcol), qb_max), 1e-12)
+        return D, E, c * gamma
 
     n = P.shape[0]
     m = A.shape[0]
-    init = (P, q, A, jnp.ones(n, P.dtype), jnp.ones(m, P.dtype),
+    init = (jnp.ones(n, P.dtype), jnp.ones(m, P.dtype),
             jnp.asarray(1.0, P.dtype))
-    Pb, qb, Ab, D, E, c = jax.lax.fori_loop(0, iters, body, init)
+    D, E, c = jax.lax.fori_loop(0, iters, body, init)
+    Pb = (c * D)[:, None] * P * D[None, :]
+    qb = c * D * q
+    Ab = E[:, None] * A * D[None, :]
     # scale bounds, keeping the finite-infinity convention intact
     lb = jnp.where(l <= -INF, l, E * l)
     ub = jnp.where(u >= INF, u, E * u)
@@ -139,9 +156,25 @@ def admm_solve(P, q, A, l, u,
     kernel) and to plain XLA elsewhere (CPU/interpret parity path).
     Resolution happens at trace time, so the choice is baked into the
     compiled program.
+
+    backend="pallas_m2" (the MPC production backend): folds the iterative-
+    refinement step into one precomputed map M2 = 2K^-1 - K^-1 K K^-1 (two
+    batched MXU GEMMs per adapt round) and runs a G-packed Pallas kernel
+    with 3 multiply-reduce ops per iteration instead of 5.  SPECIFIED FOR
+    INEQUALITY-ONLY QPs (the MPC stage): with equality rows the 1e3 rho
+    boost pushes cond(K) to ~1e4 and the explicit M2 product's rounding
+    (relative to ||K|| ||K^-1||) loses the accuracy the sequential residual
+    form keeps (measured 1e-3 solution drift with eq rows vs 1e-6 without —
+    tests/test_pallas_admm.py _qp_for).  The WBC QP (equality-constrained)
+    must use "xla" or the other pallas backends.
     """
     if backend == "auto":
         backend = "pallas_vpu" if jax.default_backend() == "tpu" else "xla"
+    elif backend == "auto_mpc":
+        # the MPC-stage default: the QP is inequality-only by construction
+        # (friction pyramid + force bounds), which is exactly pallas_m2's
+        # validity domain (see the backend note above / in the docstring)
+        backend = "pallas_m2" if jax.default_backend() == "tpu" else "xla"
     n = P.shape[0]
     m = A.shape[0]
     dtype = P.dtype
@@ -231,6 +264,23 @@ def admm_solve(P, q, A, l, u,
                 # share a fixed point.
                 x_a = K_inv @ rhs
                 return x_a + K_inv @ (rhs - K @ x_a)
+
+        if backend == "pallas_m2" and mode in ("blockinv", "inv",
+                                               "exact_inv"):
+            # Fold the refinement into ONE precomputed map:
+            #   x_t = x_a + K_inv (rhs - K x_a) = (2 K_inv - K_inv K K_inv) rhs
+            # M2 is computed here as two batched MXU GEMMs (vmap makes them
+            # (B, n, n) batch matmuls) so the Pallas kernel streams one
+            # matrix instead of two and runs 3 multiply-reduce ops per
+            # iteration instead of 5 — the iteration is latency-bound at
+            # n=192 (scripts/profile_mpc_solve.py).  Same fixed point as
+            # every other backend: identical linear map, fp order differs.
+            from mpctsid_tpu.qp.pallas_kernels import admm_iterate_m2
+            KKi = K @ K_inv
+            M2 = 2.0 * K_inv - K_inv @ KKi
+            return admm_iterate_m2(M2, A, q, l, u, rho_vec, x, z, y,
+                                   iters=n_iters, sigma=sigma, alpha=alpha,
+                                   interpret=backend_interpret)
 
         if backend in ("pallas", "pallas_vpu", "pallas_packed") and mode in (
                 "blockinv", "inv", "exact_inv"):

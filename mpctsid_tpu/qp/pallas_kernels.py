@@ -327,6 +327,174 @@ def admm_iterate_packed(K_inv, K, A, q, l, u, rho_vec, x, z, y,
 
 
 # ---------------------------------------------------------------------------
+# M2-packed iteration kernel: the refined-inverse solve folded into ONE
+# precomputed matrix, G MPC-sized scenarios per grid step
+# ---------------------------------------------------------------------------
+#
+# The per-iteration x-update of every backend above is
+#     x_t = K_inv rhs + K_inv (rhs - K (K_inv rhs))
+#         = (2 K_inv - K_inv K K_inv) rhs  =:  M2 rhs
+# i.e. the iterative-refinement step is a FIXED linear map.  Folding it into
+# M2 (computed once per adapt round as two batched MXU GEMMs in XLA, ~1 ms at
+# B=1024/n=192) removes K from the kernel entirely: 2 of the 5
+# multiply-reduce ops and ~25% of the per-scenario DMA per iteration.
+# Packing G scenarios per grid step then amortizes the per-op latency that
+# dominates the MPC-sized (n=192) iteration — the round-5 stage breakdown
+# (scripts/profile_mpc_solve.py) measured the one-scenario-per-step VPU
+# kernel at ~0.26 T elementwise-ops/s vs ~4 T peak, i.e. latency-bound, not
+# ALU-bound.  Same fixed point as every other backend (identical linear map,
+# fp reduction order differs).
+
+
+def _admm_kernel_m2_packed(iters: int, sigma: float, alpha: float,
+                           m2_ref, at_ref, q_ref, l_ref, u_ref,
+                           rho_ref, x0_ref, z0_ref, y0_ref,
+                           x_out, z_out, y_out):
+    """Layout: constraint-space vectors (z, y, l, u, rho) live as (G, 1, m)
+    ROWS for the whole loop; the primal x lives as a (G, n, 1) COLUMN.  With
+    A stored TRANSPOSED (G, n, m), every multiply-reduce then lands in the
+    layout its consumer needs — A'w: At * w_row reduced over lanes -> column;
+    M2 rhs: M2 * rhs_col reduced over sublanes -> row (M2 symmetric); A x:
+    At * x_col reduced over sublanes -> row — leaving exactly ONE relayout
+    swap per iteration (the fresh x row -> column).  The first cut of this
+    kernel kept A un-transposed and paid three swaps per iteration; the
+    on-chip A/B (scripts/probe_m2_variants.py) measured 19.1 -> 11.2 ms per
+    40-iteration B=1024 block from this re-lay-outing alone."""
+    M2 = m2_ref[:]               # (G, n, n) symmetric (2 X - X K X, X sym)
+    At = at_ref[:]               # (G, n, m) — A transposed (by the caller)
+    q = jnp.swapaxes(q_ref[:], 1, 2)    # (G, n, 1) column, once
+    l = l_ref[:]                 # (G, 1, m)
+    u = u_ref[:]                 # (G, 1, m)
+    rho = rho_ref[:]             # (G, 1, m)
+    rho_inv = 1.0 / rho          # in-kernel: saves one HBM input stream
+    x0 = jnp.swapaxes(x0_ref[:], 1, 2)  # (G, n, 1) column, once
+
+    def body(_, carry):
+        x, z, y = carry          # (G, n, 1), (G, 1, m), (G, 1, m)
+        w = rho * z - y                                        # (G, 1, m)
+        atw = jnp.sum(At * w, axis=2, keepdims=True)           # (G, n, 1)
+        rhs = sigma * x - q + atw                              # (G, n, 1)
+        xt_row = jnp.sum(M2 * rhs, axis=1, keepdims=True)      # (G, 1, n)
+        x_t = jnp.swapaxes(xt_row, 1, 2)    # the ONE swap     # (G, n, 1)
+        z_t = jnp.sum(At * x_t, axis=1, keepdims=True)         # (G, 1, m)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_r = alpha * z_t + (1.0 - alpha) * z
+        z_n = jnp.clip(z_r + rho_inv * y, l, u)
+        y_n = y + rho * (z_r - z_n)
+        return x_n, z_n, y_n
+
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x0, z0_ref[:], y0_ref[:]))
+    x_out[:] = jnp.swapaxes(x, 1, 2)
+    z_out[:] = z
+    y_out[:] = y
+
+
+def _pick_g_m2(n: int, m: int, budget_bytes: int = 16 << 20) -> int:
+    """G for the M2 kernel: sized so the production MPC shape (192/320)
+    lands on G=8 — the measured knee (g=4: 13.4 ms, g=8: 11.2 ms, g=16:
+    Mosaic VMEM compile failure; scripts/probe_m2_variants.py).  The byte
+    model counts inputs once plus the product temporaries; the effective
+    budget is calibrated to the measured g=16 failure rather than modelling
+    Mosaic's double-buffering exactly."""
+    per = (_pad_bytes(n, n) + _pad_bytes(m, n)         # M2, At inputs
+           + _pad_bytes(n, n) + 2 * _pad_bytes(m, n)   # product temporaries
+           + 8 * _pad_bytes(1, m) + 6 * _pad_bytes(1, n)
+           + _pad_bytes(m, 1) + 2 * _pad_bytes(n, 1))
+    g = max(1, budget_bytes // per)
+    p = 1
+    while p * 2 <= g:
+        p *= 2
+    return min(p, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha", "g",
+                                             "interpret"))
+def admm_iterate_m2_packed_batch(M2, A, q, l, u, rho_vec, x, z, y,
+                                 iters: int, sigma: float, alpha: float,
+                                 g: int, interpret: bool = False):
+    """Batched M2 iteration: inputs (B, ...); grid=(ceil(B/g),) with g
+    scenarios resident per step.  B pads to a multiple of g with inert
+    scenarios (M2 = 0, l = u = 0).  Returns (x (B,n), z (B,m), y (B,m))."""
+    B = M2.shape[0]
+    n = M2.shape[-1]
+    m = A.shape[-2]
+    dtype = M2.dtype
+
+    Bp = -(-B // g) * g
+    if Bp != B:
+        pad = lambda a, fill=0.0: jnp.concatenate(  # noqa: E731
+            [a, jnp.full((Bp - B,) + a.shape[1:], fill, a.dtype)], axis=0)
+        M2, A, q, x = pad(M2), pad(A), pad(q), pad(x)
+        l, u, z, y = pad(l), pad(u), pad(z), pad(y)
+        rho_vec = pad(rho_vec, 1.0)
+
+    # the kernel wants A TRANSPOSED (see _admm_kernel_m2_packed layout note);
+    # one XLA relayout per block call (~0.6 ms at B=1024) buys two fewer
+    # in-kernel relayout swaps per iteration
+    At = jnp.swapaxes(A, 1, 2)
+    kern = functools.partial(_admm_kernel_m2_packed, iters, sigma, alpha)
+    mat = lambda s: pl.BlockSpec((g,) + s, lambda i: (i, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    row = lambda v: v[:, None, :]  # noqa: E731
+    x_o, z_o, y_o = pl.pallas_call(
+        kern,
+        grid=(Bp // g,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1, n), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, m), dtype),
+            jax.ShapeDtypeStruct((Bp, 1, m), dtype),
+        ),
+        in_specs=[mat((n, n)), mat((n, m)), mat((1, n)),
+                  mat((1, m)), mat((1, m)), mat((1, m)),
+                  mat((1, n)), mat((1, m)), mat((1, m))],
+        out_specs=(mat((1, n)), mat((1, m)), mat((1, m))),
+        interpret=interpret,
+    )(M2, At, row(q), row(l), row(u), row(rho_vec), row(x), row(z), row(y))
+    return x_o[:B, 0, :], z_o[:B, 0, :], y_o[:B, 0, :]
+
+
+_M2_CACHE: dict = {}
+
+
+def admm_iterate_m2(M2, A, q, l, u, rho_vec, x, z, y,
+                    iters: int = 25, sigma: float = 1e-6,
+                    alpha: float = 1.6, interpret: bool = False):
+    """custom_vmap front for the M2 kernel (see admm_iterate_m2_packed_batch).
+
+    Unbatched calls run the G=1 grid; a vmap over a scenario batch reaches
+    the G-packed grid kernel (a plain vmap of pallas_call would map one
+    scenario per grid step and lose the packing)."""
+    key = (int(iters), float(sigma), float(alpha), bool(interpret))
+    fn = _M2_CACHE.get(key)
+    if fn is None:
+        @jax.custom_batching.custom_vmap
+        def base(M2, A, q, l, u, rho_vec, x, z, y):
+            out = admm_iterate_m2_packed_batch(
+                M2[None], A[None], q[None], l[None], u[None], rho_vec[None],
+                x[None], z[None], y[None],
+                iters=iters, sigma=sigma, alpha=alpha, g=1,
+                interpret=interpret)
+            return tuple(o[0] for o in out)
+
+        @base.def_vmap
+        def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+            args = [a if b else
+                    jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+                    for a, b in zip(args, in_batched)]
+            n = args[0].shape[-1]
+            m = args[1].shape[-2]
+            out = admm_iterate_m2_packed_batch(
+                *args, iters=iters, sigma=sigma, alpha=alpha,
+                g=_pick_g_m2(n, m), interpret=interpret)
+            return out, (True, True, True)
+
+        fn = base
+        _M2_CACHE[key] = fn
+    return fn(M2, A, q, l, u, rho_vec, x, z, y)
+
+
+# ---------------------------------------------------------------------------
 # fully-fused solver kernel: Ruiz + K build + blocked Cholesky inverse +
 # fixed-iteration ADMM + rho adaptation, one pallas_call per solve
 # ---------------------------------------------------------------------------

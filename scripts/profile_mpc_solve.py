@@ -58,18 +58,36 @@ def main(B=1024):
         print(f"  {name}: {out[name]} ms", file=sys.stderr, flush=True)
         return t
 
-    # ---- full solve -----------------------------------------------------
-    def full_step(batch, carry):
-        x, y = carry
-        sol = jax.vmap(lambda P, q, A, l, u, x0, y0: admm_solve(
-            P, q + 1e-7 * x0.mean(), A, l, u, x0=x0, y0=y0,
-            iters=cfg.solver.mpc_iters,
-            adapt_rounds=cfg.solver.mpc_adapt_rounds,
-            rho=0.1, backend="pallas_vpu"))(*batch, x, y)
-        return (sol.x, sol.y)
+    # ---- full solve per backend -----------------------------------------
+    def full_step(backend):
+        def step(batch, carry):
+            x, y = carry
+            sol = jax.vmap(lambda P, q, A, l, u, x0, y0: admm_solve(
+                P, q + 1e-7 * x0.mean(), A, l, u, x0=x0, y0=y0,
+                iters=cfg.solver.mpc_iters,
+                adapt_rounds=cfg.solver.mpc_adapt_rounds,
+                rho=0.1, backend=backend))(*batch, x, y)
+            return (sol.x, sol.y)
+        return step
 
     init = (jnp.zeros_like(qs), jnp.zeros_like(ls))
-    t_of("full", full_step, (Ps, qs, As, ls, us), init)
+    for be in ("pallas_vpu", "pallas_m2"):
+        t_of(f"full_{be}", full_step(be), (Ps, qs, As, ls, us), init)
+
+    # backend solution parity on the production MPC batch (warm chain of 2)
+    def solve2(backend):
+        @functools.partial(jax.jit, static_argnames=("backend",))
+        def run(Ps, qs, As, ls, us, backend):
+            s = full_step(backend)((Ps, qs, As, ls, us), init)
+            s = full_step(backend)((Ps, qs, As, ls, us), s)
+            return s[0]
+        return run(Ps, qs, As, ls, us, backend)
+
+    import numpy as np
+    dx = np.abs(np.asarray(solve2("pallas_m2"))
+                - np.asarray(solve2("xla"))).max()
+    out["m2_vs_xla_max_dx"] = float(f"{dx:.3g}")
+    print(f"  m2 vs xla max dx: {dx:.3g}", file=sys.stderr, flush=True)
 
     # ---- ruiz -----------------------------------------------------------
     def ruiz_step(batch, carry):

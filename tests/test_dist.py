@@ -97,6 +97,7 @@ def test_sharded_matches_unsharded():
 
 TWO_PROC_WORKER = textwrap.dedent("""
     import sys
+    import functools
     import jax
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])
@@ -107,23 +108,64 @@ TWO_PROC_WORKER = textwrap.dedent("""
     import numpy as np
     import jax.numpy as jnp
     from bench import build_batch
+    from mpctsid_tpu.cascade import cascade_rollout
     from mpctsid_tpu.config import EngineConfig
     from mpctsid_tpu.dist import (scenario_mesh, shard_scenarios_multihost,
                                   sharded_cascade_rollout)
 
-    cfg = EngineConfig(gait="trot", v_ref=(0.2 + 0.05 * pid, 0.0, 0.0))
-    B_local = 2
-    cc, args = build_batch(cfg, B_local)
+    # Both processes construct the SAME deterministic heterogeneous global
+    # batch (gait mix + mu spread + per-scenario v_cmd from a fixed seed),
+    # take their own half as the process-local slice, and ALSO run the full
+    # global batch unsharded as the parity reference (VERDICT.md round-4
+    # weak #3: the old test ran B_local=2 for 1 period and asserted only
+    # the upright count — init-path plumbing, not numerics).
+    cfg = EngineConfig(gait="trot", v_ref=(0.25, 0.0, 0.0))
+    B_global, n_periods = 16, 3
+    B_local = B_global // 2
+    cc, g_args = build_batch(cfg, B_global, gait_mix=["trot", "walk"],
+                             mu_spread=True, seed=7)
+    l_args = jax.tree_util.tree_map(
+        lambda x: x[pid * B_local:(pid + 1) * B_local], g_args)
+
     mesh = scenario_mesh()          # spans all 4 devices across 2 processes
     assert mesh.devices.size == 4, mesh
-    s_args = shard_scenarios_multihost(mesh, args)
-    run = sharded_cascade_rollout(cc, mesh, n_periods=1)
-    _, _, _, summary = run(*s_args)
-    n_total = float(np.asarray(jax.device_get(summary["n_total"])))
+    s_args = shard_scenarios_multihost(mesh, l_args)
+    run = sharded_cascade_rollout(cc, mesh, n_periods=n_periods)
+    _, plant_s, _, summary = run(*s_args)
+
+    # unsharded single-process reference of the SAME global batch
+    ref = jax.jit(jax.vmap(functools.partial(
+        cascade_rollout, cc, n_periods=n_periods)))
+    _, plant_u, met_u = ref(*g_args)
+
+    # (1) this process's addressable shard of the sharded plant state must
+    # match the reference rows it owns — same tolerance ladder as
+    # test_sharded_matches_unsharded (f32 noise amplified through 3 periods
+    # of contact switches)
+    shards = sorted(plant_s.q.addressable_shards,
+                    key=lambda s: s.index[0].start)
+    q_local = np.concatenate([np.asarray(s.data) for s in shards])
+    q_ref = np.asarray(plant_u.q)[pid * B_local:(pid + 1) * B_local]
+    dq = np.abs(q_local - q_ref).max()
+    assert dq < 0.05, dq
+
+    # (2) the cross-process psum/pmax summary must match host-side math on
+    # the reference rollout
+    x = np.asarray(met_u["x_srb"])
+    n_up_ref = float((x[:, -1, 2] > 0.1).sum())
     n_up = float(np.asarray(jax.device_get(summary["n_upright"])))
-    assert n_total == 4.0, n_total
-    assert n_up == 4.0, n_up
-    print(f"TWO-PROC-OK {pid} {n_total} {n_up}", flush=True)
+    n_total = float(np.asarray(jax.device_get(summary["n_total"])))
+    assert n_total == B_global, n_total
+    assert abs(n_up - n_up_ref) <= 1.0, (n_up, n_up_ref)
+    for key, ref_v in [
+        ("mean_mpc_prim_res", float(np.asarray(met_u["mpc_prim_res"]).mean())),
+        ("max_mpc_prim_res", float(np.asarray(met_u["mpc_prim_res"]).max())),
+        ("mean_tau_rms", float(np.asarray(met_u["tau_rms"]).mean())),
+    ]:
+        got = float(np.asarray(jax.device_get(summary[key])))
+        assert abs(got - ref_v) < max(0.05 * abs(ref_v), 1e-4), (key, got,
+                                                                 ref_v)
+    print(f"TWO-PROC-OK {pid} dq={dq:.2e} n_up={n_up}", flush=True)
 """)
 
 

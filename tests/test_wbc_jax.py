@@ -125,6 +125,50 @@ def test_f32_cold_solve_parity(ticks, polish, mean_budget, max_budget):
     assert errs.max() < max_budget, errs.max()
 
 
+def test_wbc_parity_tier_under_1e4(ticks):
+    """The NAMED WBC parity tier (config.py WBC_PARITY_SOLVER): f64-island
+    admm_solve, warm-started, polish on — must land under 1e-4 of tau_max
+    (2.7e-4 Nm) against the oracle cascade's torques (BASELINE.json:5).
+
+    Measured round 5: mean 1.85e-5 / max 2.53e-5 Nm — the formulation floor
+    (an exact f64 oracle solve of the same QPs gives the same numbers; the
+    residue is the deliberate ridge-vs-bound swing pinning difference).
+    config.py documents why the f64 island is provably necessary: the f32
+    data cast is NOT the floor (exact solve on f32-cast data: 1.9e-5), the
+    f32 solve arithmetic is (best measured f32 tier: 7.4e-4)."""
+    from mpctsid_tpu.config import WBC_PARITY_SOLVER
+
+    qpdata = []
+    for q, v, refs, o_tau in ticks:
+        qpdata.append(build64(q, v, refs) + [o_tau])
+    jax.config.update("jax_enable_x64", True)
+    try:
+        solve = jax.jit(lambda H, g, A, l, u, x0, y0: admm_solve(
+            H, g, A, l, u, x0=x0, y0=y0,
+            iters=WBC_PARITY_SOLVER.wbc_iters,
+            adapt_rounds=WBC_PARITY_SOLVER.wbc_adapt_rounds,
+            rho=WBC_PARITY_SOLVER.rho, polish_kkt=True))
+        errs = []
+        wx = wy = None
+        for H, g, A, l, u, Mm, h, JcT, o_tau in qpdata:
+            a = [jnp.asarray(x, jnp.float64) for x in (H, g, A, l, u)]
+            if wx is None:
+                wx = jnp.zeros(H.shape[0], jnp.float64)
+                wy = jnp.zeros(A.shape[0], jnp.float64)
+            s = solve(*a, wx, wy)
+            assert np.asarray(s.x).dtype == np.float64
+            wx, wy = s.x, s.y
+            tau = tau_of(np.asarray(s.x), Mm, h, JcT)
+            errs.append(np.abs(tau - o_tau).max())
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    errs = np.asarray(errs)
+    tau_budget = 1e-4 * CFG.wbc.tau_max          # 2.7e-4 Nm
+    assert errs.mean() < tau_budget, errs.mean()
+    # max budget: ~4x the measured max (2.53e-5), still under the tier budget
+    assert errs.max() < 1e-4, errs.max()
+
+
 def test_f32_warm_sequence_tracks_oracle(ticks):
     """The cascade's actual operating mode: warm-start each tick from the
     previous solution.  End-of-sequence torque parity must stay bounded (the
@@ -139,9 +183,10 @@ def test_f32_warm_sequence_tracks_oracle(ticks):
         errs.append(np.abs(np.asarray(tau, np.float64) - o_tau).max())
     errs = np.asarray(errs)
     assert np.isfinite(errs).all()
-    # measured mean ~8e-4 Nm (round 4); budget tightened 0.4 -> 0.02 per
-    # VERDICT.md round-3 item 4 (tau scale: tau_max = 2.7 Nm)
-    assert errs.mean() < 0.02, errs.mean()
+    # measured mean 7.4e-4 Nm (rounds 4-5); budget = 3x measured per
+    # VERDICT.md round-4 weak #4 so a 10x regression cannot hide
+    # (tau scale: tau_max = 2.7 Nm)
+    assert errs.mean() < 2.2e-3, errs.mean()
 
 
 def test_batched_vs_single_consistency(ticks):
@@ -156,10 +201,15 @@ def test_batched_vs_single_consistency(ticks):
     for i, (q, v, refs, _) in enumerate(sub):
         tau, qdd, f, _ = solve_wbc(TREE, CFG.wbc, jnp.asarray(q, F32),
                                    jnp.asarray(v, F32), jax_refs(refs))
-        # vmap changes matmul reduction order; through the cond-1e5 KKT the
-        # divergence reaches ~1e-3 on tau (scale tau_max = 2.7)
+        # vmap changes matmul reduction order, which through the cond~1e5
+        # WBC KKT amplifies to ~cond * eps_f32 ~ 1e-2 relative worst-case
+        # divergence between the two f32 solves (tau scale: tau_max = 2.7).
+        # Measured: ~1e-3 round 4, 1.3e-2 worst element round 5 after the
+        # norm-only Ruiz rewrite re-rolled the fp noise (the Ruiz scales
+        # themselves are bitwise vmap-vs-single identical; verified round 5).
+        # Budget = the amplification bound, not the lucky draw.
         np.testing.assert_allclose(np.asarray(tau_b[i]), np.asarray(tau),
-                                   atol=3e-3)
+                                   atol=2e-2)
 
 
 def test_swing_forces_pinned(ticks):
