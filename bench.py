@@ -600,22 +600,24 @@ def _roofline_section(headline_row=None, rows=None):
     interp = []
     r1k = roof.get("1024", {})
     mx = r1k.get("mpc_solve_xla")
-    mv = r1k.get("mpc_solve_pallas_vpu")
+    mv = r1k.get("mpc_solve_pallas_m2") or r1k.get("mpc_solve_pallas_vpu")
     fp = r1k.get("full_period")
     if mx and mv and fp:
         share = 100.0 * mv["ms"] / fp["ms"]
         interp.append(
-            "Interpretation: the cascade is **HBM-bound, not MXU-bound** — "
-            f"the dominant stage (the MPC ADMM solve, ~{share:.0f}% of the "
-            "period under the production backend) streams the per-scenario "
-            f"K/K^-1/A matrices at {mx['gb_s']:.0f} GB/s "
-            f"({mx['pct_hbm']:.0f}% of peak) under XLA and at an effective "
-            f"{mv['gb_s']:.0f} GB/s ({mv['pct_hbm']:.0f}%) under the "
-            "production pallas_vpu kernel "
-            f"({mx['ms'] / mv['ms']:.2f}x stage speedup); MXU utilization "
-            f"is ~{mv['pct_mxu_f32']:.0f}% because a 192-var QP has no "
-            "large matmuls.  WBC solve/build and plant stages run at >= "
-            "the HBM stream rate of their cost-model bytes (XLA fusion "
+            "Interpretation: the MPC ADMM solve "
+            f"(~{share:.0f}% of the period under the production backend) "
+            "streams the per-scenario matrices at an effective "
+            f"{mv['gb_s']:.0f} GB/s of cost-model bytes "
+            f"({mv['pct_hbm']:.0f}% of HBM peak) vs {mx['gb_s']:.0f} GB/s "
+            f"({mx['pct_hbm']:.0f}%) under plain XLA — a "
+            f"{mx['ms'] / mv['ms']:.2f}x stage speedup from the G-packed "
+            "M2 kernel (the kernel's PHYSICAL HBM traffic is far lower "
+            "than the cost-model bytes: matrices stay VMEM-resident for "
+            "all iterations, so the stage is VPU-op-latency-bound, not "
+            "HBM-bound); MXU utilization is low because a 192-var QP has "
+            "no large matmuls.  WBC solve/build and plant stages run at "
+            ">= the HBM stream rate of their cost-model bytes (XLA fusion "
             "holds intermediates on-chip) — bandwidth speed-of-light for "
             "their op mix.")
     # batch-size knee from SCALING.json (same trot-only workload at every

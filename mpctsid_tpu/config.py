@@ -74,16 +74,27 @@ class SolverConfig:
     sigma: float = 1e-6
     alpha: float = 1.6             # over-relaxation
     # In-cascade device solver budgets (fixed trip counts; SURVEY.md §7.3).
-    # MPC 80 iters / 2 adapt rounds: the round-4 A/B measured mean dual
-    # residual 2.0e-6 — indistinguishable from 100/4 (1.8e-6) — while the
-    # two dropped refactorizations raise the B=1024 cascade from 51.1k to
-    # 60.5k ticks/s (the factorization is the HBM-bound stage, RESULTS.md
-    # roofline).  1 round degrades the dual residual 1000x (2.9e-3): the
-    # rho adaptation needs at least one refactor.  Parity-tier solves
-    # (tests, oracle comparisons) pass their own higher budgets explicitly.
-    mpc_iters: int = 80
+    # MPC 60 iters / 2 adapt rounds (round-5 A/B on the G-packed M2
+    # backend): mean cascade dual residual 4.6e-6 at 60 and at 80 iters —
+    # identical — with +2% throughput at 60.  1 adapt round degrades the
+    # dual residual 1000x (round-4 evidence, 2.9e-3): the rho adaptation
+    # needs at least one refactor.  WBC 40 iters / 3 adapt rounds (was
+    # 60/3): iters 60 -> 40 keeps every gait's closed loop healthy and
+    # costs only 7.7e-4 -> 9.9e-4 Nm warm-sequence parity
+    # (scripts/probe_wbc_budget.py), for ~+1% cascade throughput.  The
+    # third WBC refactorization is LOAD-BEARING and must not be cut: 2
+    # adapt rounds looked fine on trot (+8.9% throughput, upright 1.0) but
+    # collapsed the WALK gait's forward progress 0.079 -> 0.013 m at ANY
+    # iteration count (100/2 still broken, 40/3 fine) — the statically-
+    # stable 3-stance gait needs the better-adapted rho.  Headline-guard
+    # lesson: trot-only A/Bs cannot justify budget cuts; the gait-sweep
+    # closed-loop tests are the gate.  The CONTRACT accuracy number lives
+    # in the named WBC_PARITY_SOLVER f64 tier below, not in the production
+    # loop.  Parity-tier solves (tests, oracle comparisons) pass their own
+    # higher budgets explicitly.
+    mpc_iters: int = 60
     mpc_adapt_rounds: int = 2
-    wbc_iters: int = 60
+    wbc_iters: int = 40
     wbc_adapt_rounds: int = 3
     # device QP backends (qp/admm.py): "auto_mpc" resolves to the G-packed
     # M2 Pallas kernel on TPU (valid for the inequality-only MPC QP; round-5

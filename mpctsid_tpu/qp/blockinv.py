@@ -110,13 +110,37 @@ def chol_blocked(K):
     batched `cholesky`/LU lowering on TPU.  Unpivoted Cholesky is
     backward-stable for SPD input (unlike the raw Schur-inverse recursion
     above, which loses ~cond(K) accuracy when small diagonals are eliminated
-    first), so this is the production path for the QP KKT matrices."""
+    first), so this is the production path for the QP KKT matrices.
+
+    Closed-form 2x2 / 3x3 bases (round 5): the recursion below size 3 used
+    to spawn ~12 ops per size-3 leaf (and a 192x192 factorization has 64 of
+    them) — the small-op tail made the whole inverse launch-bound at 2.6
+    TFLOP/s (scripts/profile_mpc_solve.py kinv stage).  The explicit
+    formulas are a handful of elementwise ops each.  Pivot floor 1e-10 as
+    in the n == 1 base."""
     n = K.shape[0]
     if n == 1:
         # floor keeps a rounding-negative trailing pivot (reachable at
         # f32 cond ~ 1e7) from NaN-ing the whole factor; callers Jacobi-scale
         # first so diag(K) ~ 1 and the floor is ~eps-sized when it triggers
         return jnp.sqrt(jnp.maximum(K, 1e-10))
+    if n == 2:
+        l11 = jnp.sqrt(jnp.maximum(K[0, 0], 1e-10))
+        l21 = K[1, 0] / l11
+        l22 = jnp.sqrt(jnp.maximum(K[1, 1] - l21 * l21, 1e-10))
+        z = jnp.zeros((), K.dtype)
+        return jnp.stack([jnp.stack([l11, z]), jnp.stack([l21, l22])])
+    if n == 3:
+        l11 = jnp.sqrt(jnp.maximum(K[0, 0], 1e-10))
+        l21 = K[1, 0] / l11
+        l31 = K[2, 0] / l11
+        l22 = jnp.sqrt(jnp.maximum(K[1, 1] - l21 * l21, 1e-10))
+        l32 = (K[2, 1] - l31 * l21) / l22
+        l33 = jnp.sqrt(jnp.maximum(K[2, 2] - l31 * l31 - l32 * l32, 1e-10))
+        z = jnp.zeros((), K.dtype)
+        return jnp.stack([jnp.stack([l11, z, z]),
+                          jnp.stack([l21, l22, z]),
+                          jnp.stack([l31, l32, l33])])
     half = n // 2
     K11 = K[:half, :half]
     K21 = K[half:, :half]
@@ -132,15 +156,38 @@ def chol_blocked(K):
          jnp.concatenate([L21, L22], axis=1)], axis=0)
 
 
+_TRI_NEUMANN_BASE = 24
+
+
 def tri_lower_inverse(L):
     """Inverse of a lower-triangular L (n, n), recursive blocked form.
 
     inv([[L11, 0], [L21, L22]]) = [[X11, 0], [-X22 L21 X11, X22]].
     Matmul-only, depth log2(n); cond(L) = sqrt(cond(K)) for a Cholesky
-    factor, which is what buys the f32 stability of `spd_inverse_chol`."""
+    factor, which is what buys the f32 stability of `spd_inverse_chol`.
+
+    Base case n <= 24 (round 5): L = D (I + N) with N strictly lower
+    NILPOTENT (N^n = 0), so inv(I + N) = prod_j (I + M^(2^j)) with M = -N —
+    an EXACT log-depth product of ~2 ceil(log2(n)) matmuls, then a diagonal
+    column scale.  The old recursion spawned ~45 ops (matmuls + concats)
+    per size-12 subtree and dominated the factorization's launch-bound
+    cost; the product form is ~10 uniform batched matmuls.  Same math as
+    the fused kernel's _btri_base (qp/pallas_kernels.py), which has used it
+    at n <= 8 since round 4."""
     n = L.shape[0]
     if n == 1:
         return 1.0 / L
+    if n <= _TRI_NEUMANN_BASE:
+        d = jnp.diagonal(L)
+        eye = jnp.eye(n, dtype=L.dtype)
+        M = eye - L / d[:, None]           # M = -N, strictly lower
+        X = eye + M
+        k = 1
+        while k < n - 1:                   # product covers M^0 .. M^(2k-1)
+            M = M @ M
+            X = X @ (eye + M)
+            k *= 2
+        return X / d[None, :]
     half = n // 2
     X11 = tri_lower_inverse(L[:half, :half])
     X22 = tri_lower_inverse(L[half:, half:])

@@ -51,22 +51,35 @@ def main():
         ctl, plant, metrics, summary = f(*args)
         return summary
 
-    s1 = jax.tree_util.tree_map(np.asarray, run(1))     # compile + warm
-    t0 = time.time()
-    s1 = jax.tree_util.tree_map(np.asarray, run(1))
-    t1 = time.time() - t0
-    t0 = time.time()
-    s3 = jax.tree_util.tree_map(np.asarray, run(3))
-    t3 = time.time() - t0
-    per_period = max((t3 - t1) / 2, 1e-9)
+    if B <= 4096:
+        s1 = jax.tree_util.tree_map(np.asarray, run(1))  # compile + warm
+        t0 = time.time()
+        s1 = jax.tree_util.tree_map(np.asarray, run(1))
+        t1 = time.time() - t0
+        t0 = time.time()
+        s_final = jax.tree_util.tree_map(np.asarray, run(3))
+        t3 = time.time() - t0
+        per_period = max((t3 - t1) / 2, 1e-9)
+        protocol = "differential 3-vs-1 period"
+    else:
+        # the REAL 32k batch takes ~45 min per period on this 2-CPU host; a
+        # full differential protocol would be ~4 h, so the one-off run uses
+        # warm single-period timing (compile excluded) and says so
+        jax.tree_util.tree_map(np.asarray, run(1))       # compile + warm
+        t0 = time.time()
+        s_final = jax.tree_util.tree_map(np.asarray, run(1))
+        per_period = max(time.time() - t0, 1e-9)
+        protocol = "warm single period (one-off large batch)"
     ticks_per_s = B * cfg.cascade.mpc_every / per_period
     line = {
         "ticks_per_s": round(ticks_per_s, 1),
         "batch": B,
         "n_devices": 8,
-        "upright_frac": round(float(s3["n_upright"] / s3["n_total"]), 4),
-        "max_mpc_prim_res": float(s3["max_mpc_prim_res"]),
-        "n_mpc_fail": float(s3["n_mpc_fail"]),
+        "protocol": protocol,
+        "upright_frac": round(float(s_final["n_upright"]
+                                    / s_final["n_total"]), 4),
+        "max_mpc_prim_res": float(s_final["max_mpc_prim_res"]),
+        "n_mpc_fail": float(s_final["n_mpc_fail"]),
     }
     print(json.dumps(line))
     if a.out:

@@ -145,7 +145,7 @@ def main(B=1024):
 
     init = (jnp.zeros_like(mpc_batch[1]), jnp.zeros_like(mpc_batch[3]))
     fl, by = cost_of_step(mpc_solve("xla"), mpc_batch, init)
-    for backend in ("xla", "pallas_vpu"):
+    for backend in ("xla", "pallas_vpu", "pallas_m2"):
         t = diff_time(
             lambda n, b=backend: chain(mpc_solve(b), mpc_batch, init, n),
             1, 4, reps=3)

@@ -171,22 +171,26 @@ def test_wbc_parity_tier_under_1e4(ticks):
 
 def test_f32_warm_sequence_tracks_oracle(ticks):
     """The cascade's actual operating mode: warm-start each tick from the
-    previous solution.  End-of-sequence torque parity must stay bounded (the
-    closed-loop plant-state parity test in test_cascade_jax.py implies ~0.5)."""
+    previous solution, at the PRODUCTION solver budget (CFG.solver), so this
+    test tracks what the cascade actually ships.  End-of-sequence torque
+    parity must stay bounded."""
     errs = []
     wx = wy = None
     for q, v, refs, o_tau in ticks:
         tau, qdd, f, sol = solve_wbc(
             TREE, CFG.wbc, jnp.asarray(q, F32), jnp.asarray(v, F32),
-            jax_refs(refs), warm_x=wx, warm_y=wy)
+            jax_refs(refs), iters=CFG.solver.wbc_iters,
+            adapt_rounds=CFG.solver.wbc_adapt_rounds, warm_x=wx, warm_y=wy)
         wx, wy = sol.x, sol.y
         errs.append(np.abs(np.asarray(tau, np.float64) - o_tau).max())
     errs = np.asarray(errs)
     assert np.isfinite(errs).all()
-    # measured mean 7.4e-4 Nm (rounds 4-5); budget = 3x measured per
-    # VERDICT.md round-4 weak #4 so a 10x regression cannot hide
-    # (tau scale: tau_max = 2.7 Nm)
-    assert errs.mean() < 2.2e-3, errs.mean()
+    # measured mean 9.9e-4 Nm at the round-5 production budget 40/3
+    # (scripts/probe_wbc_budget.py; see config.py SolverConfig for why 3
+    # adapt rounds are load-bearing).  Budget = 3x measured so a 10x
+    # regression cannot hide (tau scale: tau_max = 2.7).  The 1e-4
+    # CONTRACT tier is test_wbc_parity_tier_under_1e4 above.
+    assert errs.mean() < 3e-3, errs.mean()
 
 
 def test_batched_vs_single_consistency(ticks):
