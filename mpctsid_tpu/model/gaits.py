@@ -75,13 +75,26 @@ BOUND = _make("bound", _phase_table(
               [0, 0, 1, 1] if k < 12 else
               [1, 1, 1, 1]))
 
+# Pace: LATERAL pairs (FL+HL / FR+HR) alternate, with the same
+# double-support separators as the bound (4 left / 4 all / 4 right / 4 all)
+# and for the same reason — a 50%-duty pace keeps one lateral pair loaded
+# for 0.16 s, which this controller family cannot balance in roll (no
+# flight/aerial handling).  Foot order is [FL, FR, HL, HR] (model/solo12).
+PACE = _make("pace", _phase_table(
+    lambda k: [1, 0, 1, 0] if k < 4 else
+              [1, 1, 1, 1] if k < 8 else
+              [0, 1, 0, 1] if k < 12 else
+              [1, 1, 1, 1]))
+
 # Static stand: all four feet down.
 STATIC = _make("static", np.ones((GAIT_PERIOD, N_FEET)))
 
-GAITS = {"trot": TROT, "walk": WALK, "bound": BOUND, "static": STATIC}
-GAIT_IDS = {"trot": 0, "walk": 1, "bound": 2, "static": 3}
+GAITS = {"trot": TROT, "walk": WALK, "bound": BOUND, "static": STATIC,
+         "pace": PACE}
+GAIT_IDS = {"trot": 0, "walk": 1, "bound": 2, "static": 3, "pace": 4}
 
 
 def gait_tables() -> np.ndarray:
-    """(4, GAIT_PERIOD, 4) stacked tables indexed by GAIT_IDS, for batched lookup."""
-    return np.stack([TROT.table, WALK.table, BOUND.table, STATIC.table])
+    """(5, GAIT_PERIOD, 4) stacked tables indexed by GAIT_IDS, for batched lookup."""
+    return np.stack([TROT.table, WALK.table, BOUND.table, STATIC.table,
+                     PACE.table])

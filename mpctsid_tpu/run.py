@@ -27,7 +27,7 @@ import jax.numpy as jnp
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--gait", default="trot",
-                   choices=["trot", "walk", "bound", "static"])
+                   choices=["trot", "walk", "bound", "static", "pace"])
     p.add_argument("--vx", type=float, default=0.3)
     p.add_argument("--vy", type=float, default=0.0)
     p.add_argument("--wz", type=float, default=0.0)

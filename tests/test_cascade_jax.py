@@ -53,6 +53,10 @@ def test_stand_holds_height():
     ("walk", (0.2, 0.0, 0.0), 0.20, 0.10, 0.03),
     # bound: pair stance with double support — pitch oscillates by design
     ("bound", (0.25, 0.0, 0.0), 0.12, 0.25, 0.05),
+    # pace: LATERAL pairs with double support (round 5) — roll oscillates
+    # by design; at 40 periods/0.3 m/s it covers ~0.025 m (low-speed pace
+    # walks in place, the lateral rocking eats the effort)
+    ("pace", (0.3, 0.0, 0.0), 0.20, 0.25, 0.012),
 ])
 def test_gait_sweep_closed_loop(gait, v, min_z, max_rp, min_x):
     """BASELINE.json:8 gait set trot/walk/bound closed-loop (trot has its own
