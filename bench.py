@@ -158,8 +158,13 @@ def measure_cascade(cc, args, periods=5, reps=3):
     per_period = max(diff_time(make_run, 1, periods + 1, reps), 1e-9)
     ticks_per_s = B * mpc_every / per_period
 
-    # correctness guards on the same batch/length as the timed run
-    _, _, metrics = rollout_fn(periods + 1)(*args)
+    # correctness guards: same batch, but a LONGER rollout than the timed
+    # one — trot-from-standstill needs ~20 MPC periods (0.4 s) to converge
+    # to its steady-state velocity (measured: vx reaches ~0.20 of a 0.30
+    # command by period ~20), so a 6-period guard window would report the
+    # transient (vx_track ~0.02) and read as "the robot never moves"
+    n_g = max(periods + 1, 31)
+    _, _, metrics = rollout_fn(n_g)(*args)
     x = np.asarray(metrics["x_srb"])
     # velocity-tracking guard (VERDICT.md round-4 weak #7: upright_frac alone
     # scores a standing robot 1.0): body-frame forward velocity vs the
@@ -171,13 +176,16 @@ def measure_cascade(cc, args, periods=5, reps=3):
     vx_body = (np.cos(yaw) * x[:, h:, 6] + np.sin(yaw) * x[:, h:, 7])
     vx_err = np.abs(vx_body - vc[:, None, 0]).mean()
     # transient-insensitive companion: fraction of the commanded forward
-    # velocity actually reached by the LAST sampled state, averaged over
-    # scenarios with a meaningful command.  A standing batch scores ~0 here
-    # no matter how short the rollout; mean_vx_err alone cannot separate
-    # "still accelerating from standstill" from "not moving".
+    # velocity actually reached in steady state (mean of the last 8 sampled
+    # periods — a single last state aliases the within-gait vx oscillation),
+    # averaged over scenarios with a meaningful command.  A standing batch
+    # scores ~0 here no matter how long the rollout; mean_vx_err alone
+    # cannot separate "still accelerating from standstill" from "not
+    # moving".
     moving = np.abs(vc[:, 0]) > 0.05
     if moving.any():
-        frac = np.clip(vx_body[moving, -1] / vc[moving, 0], 0.0, 1.5)
+        vx_ss = vx_body[moving, -8:].mean(axis=1)
+        frac = np.clip(vx_ss / vc[moving, 0], 0.0, 1.5)
         vx_track = float(frac.mean())
     else:
         vx_track = 1.0
