@@ -52,12 +52,14 @@ class ControllerState:
     mpc_warm_y: jnp.ndarray    # (320,)
     wbc_warm_x: jnp.ndarray    # (30,)
     wbc_warm_y: jnp.ndarray    # (50,)
+    v_int: jnp.ndarray         # (3,) velocity-error integral [vx, vy, wz]
 
 
 jax.tree_util.register_dataclass(
     ControllerState,
     data_fields=["phase", "liftoff", "touchdown", "prev_contacts", "f_plan",
-                 "mpc_warm_x", "mpc_warm_y", "wbc_warm_x", "wbc_warm_y"],
+                 "mpc_warm_x", "mpc_warm_y", "wbc_warm_x", "wbc_warm_y",
+                 "v_int"],
     meta_fields=[])
 
 
@@ -92,6 +94,7 @@ def init_controller(model: Solo12Model, cfg: EngineConfig, tree, q0,
         mpc_warm_y=jnp.zeros(N_MPC_ROWS, dtype),
         wbc_warm_x=jnp.zeros(N_WBC_VARS, dtype),
         wbc_warm_y=jnp.zeros(N_WBC_ROWS, dtype),
+        v_int=jnp.zeros(3, dtype),
     )
 
 
@@ -176,13 +179,29 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
     to_swing = (contacts < 0.5) & (ctl.prev_contacts > 0.5)
     liftoff = jnp.where(to_swing[:, None], feet_now, ctl.liftoff)
 
+    # Offset-free velocity tracking (config.py CascadeConfig.ki_vint): the
+    # penalty plant's contact drag leaves a ~25% steady-state velocity sag
+    # under pure proportional MPC tracking.  Integrate the body-frame
+    # velocity error once per period and bias the command fed to the
+    # planner + reference rollout; the clamp bounds windup.  Mirrored in
+    # oracle/cascade.py for tick parity.
+    cy, sy = jnp.cos(x_srb[5]), jnp.sin(x_srb[5])
+    v_meas = jnp.stack([cy * x_srb[6] + sy * x_srb[7],
+                        -sy * x_srb[6] + cy * x_srb[7],
+                        x_srb[11]])
+    t_period = cfg.cascade.mpc_every * cfg.cascade.wbc_dt
+    v_int = jnp.clip(
+        ctl.v_int + cfg.cascade.ki_vint * t_period * (v_cmd - v_meas),
+        -cfg.cascade.v_int_max, cfg.cascade.v_int_max).astype(dtype)
+    v_used = v_cmd + v_int
+
     # footstep plan + touchdown targets for swinging feet
     fsteps, next_td = plan_footsteps_horizon(
-        model, cfg.mpc, cfg.cascade, gait_id, phase, x_srb, v_cmd, feet_now)
+        model, cfg.mpc, cfg.cascade, gait_id, phase, x_srb, v_used, feet_now)
     touchdown = jnp.where((contacts < 0.5)[:, None], next_td, ctl.touchdown)
 
     # MPC solve from the current state (one-solve-stale: consumed NEXT period)
-    x_ref = reference_rollout(model, cfg.mpc, x_srb, v_cmd)
+    x_ref = reference_rollout(model, cfg.mpc, x_srb, v_used)
     cont_h = jnp.stack([contacts_at(gait_id, phase + k).astype(dtype)
                         for k in range(cfg.mpc.horizon)])
     P, q_lin, A, l, u = build_mpc_qp(model, cfg.mpc, x_srb, x_ref, fsteps,
@@ -280,7 +299,7 @@ def cascade_period(cc: CascadeConfigured, ctl: ControllerState,
         liftoff=liftoff, touchdown=touchdown, prev_contacts=contacts,
         f_plan=new_plan,
         mpc_warm_x=mpc_warm_x, mpc_warm_y=mpc_warm_y,
-        wbc_warm_x=wbc_wx, wbc_warm_y=wbc_wy)
+        wbc_warm_x=wbc_wx, wbc_warm_y=wbc_wy, v_int=v_int)
     metrics = {
         "x_srb": x_srb,
         "tau_rms": jnp.sqrt(jnp.mean(taus ** 2)),

@@ -122,6 +122,15 @@ class CascadeConfig:
     swing_height: float = 0.05     # swing apex (SURVEY.md §2.1 swing generator)
     k_raibert: float = 0.03        # feedback gain on (v - v_ref)
     t_stance_factor: float = 0.5   # T_stance/2 velocity feed-forward
+    # offset-free velocity tracking: the penalty plant drags the trot ~25%
+    # below the commanded speed (measured round 5: cmd 0.30 -> vx_ss 0.204;
+    # cmd 0.40 -> 0.299, i.e. a near-linear ~0.75 plant gain).  The cascade
+    # integrates the body-frame velocity error once per MPC period and
+    # biases the command fed to the reference rollout + footstep planner —
+    # the classic offset-free-MPC disturbance integrator.  ki_vint is 1/s;
+    # the clamp bounds windup (and the bias itself) to v_int_max m/s.
+    ki_vint: float = 3.0
+    v_int_max: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)

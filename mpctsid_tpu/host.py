@@ -93,6 +93,7 @@ class HostController:
         self.f_plan = fb
         self.plan_period = 0           # period the current f_plan was solved in
         self._pending_plan = None      # sync mode: plan awaiting its period
+        self.v_int = np.zeros(3, np.float32)  # velocity-error integral
 
         self.mpc_warm = (jnp.zeros(N_MPC_VARS, F32),
                          jnp.zeros(N_MPC_ROWS, F32))
@@ -276,6 +277,20 @@ class HostController:
         self.liftoff = jnp.where(jnp.asarray(to_swing)[:, None], feet_now,
                                  self.liftoff)
         x_srb = srb_state(q, v)
+
+        # offset-free velocity integrator (cascade/engine.py twin): bias
+        # the command handed to the planner thread / sync solve
+        xs = np.asarray(x_srb)
+        cy, sy = np.cos(xs[5]), np.sin(xs[5])
+        v_meas = np.array([cy * xs[6] + sy * xs[7],
+                           -sy * xs[6] + cy * xs[7], xs[11]],
+                          dtype=np.float32)
+        t_period = cfg.cascade.mpc_every * cfg.cascade.wbc_dt
+        self.v_int = np.clip(
+            self.v_int + cfg.cascade.ki_vint * t_period
+            * (np.asarray(v_cmd) - v_meas),
+            -cfg.cascade.v_int_max, cfg.cascade.v_int_max).astype(np.float32)
+        v_cmd = jnp.asarray(np.asarray(v_cmd) + self.v_int, F32)
 
         if self.async_mpc:
             # consume the latest COMPLETED plan (one-solve-stale), then hand

@@ -92,6 +92,7 @@ class OracleController:
         self.mpc_warm = (None, None)
         self.mpc_iters = 0
         self.prev_contacts = self.gait.contacts()
+        self.v_int = np.zeros(3)   # velocity-error integral (engine twin)
 
     def compute(self, q: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, TickLog]:
         cfg = self.cfg
@@ -104,6 +105,19 @@ class OracleController:
             if self.tick > 0:
                 self.gait.roll()
             contacts = self.gait.contacts()
+            # offset-free velocity integrator (cascade/engine.py twin):
+            # body-frame velocity error integrated once per period, biasing
+            # the command fed to the planner + reference rollout
+            cy, sy = np.cos(x_srb[5]), np.sin(x_srb[5])
+            v_meas = np.array([cy * x_srb[6] + sy * x_srb[7],
+                               -sy * x_srb[6] + cy * x_srb[7],
+                               x_srb[11]])
+            t_period = cfg.cascade.mpc_every * cfg.cascade.wbc_dt
+            self.v_int = np.clip(
+                self.v_int + cfg.cascade.ki_vint * t_period
+                * (v_cmd - v_meas),
+                -cfg.cascade.v_int_max, cfg.cascade.v_int_max)
+            v_cmd = v_cmd + self.v_int
             # swing/stance transitions: record lift-off, fix touchdown targets
             st = dyn.DynState(self.tree, q)
             feet_now = st.foot_positions()
