@@ -156,7 +156,7 @@ def chol_blocked(K):
          jnp.concatenate([L21, L22], axis=1)], axis=0)
 
 
-_TRI_NEUMANN_BASE = 24
+_TRI_NEUMANN_BASE = 12
 
 
 def tri_lower_inverse(L):
@@ -166,7 +166,9 @@ def tri_lower_inverse(L):
     Matmul-only, depth log2(n); cond(L) = sqrt(cond(K)) for a Cholesky
     factor, which is what buys the f32 stability of `spd_inverse_chol`.
 
-    Base case n <= 24 (round 5): L = D (I + N) with N strictly lower
+    Base case n <= 12 (round 5; was 24 — the 24 base measured ~8% SLOWER on
+    the B=1024 WBC n=30 solve chain than 12, while 192-var stays neutral):
+    L = D (I + N) with N strictly lower
     NILPOTENT (N^n = 0), so inv(I + N) = prod_j (I + M^(2^j)) with M = -N —
     an EXACT log-depth product of ~2 ceil(log2(n)) matmuls, then a diagonal
     column scale.  The old recursion spawned ~45 ops (matmuls + concats)
