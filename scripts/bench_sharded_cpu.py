@@ -14,6 +14,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Must be set before jax initializes.  The 8 virtual devices share this
+# host's 2 physical cores, so device threads reach a collective minutes
+# apart at large per-device batches; XLA's CPU rendezvous hard-terminates
+# the process after 40 s of skew by default (rendezvous.cc), which killed
+# the first real-32k attempt.  Raise both rendezvous timeouts well past the
+# worst observed skew (a 4096-scenario shard period is ~6 min on this host).
+_FLAGS = ("--xla_force_host_platform_device_count=8 "
+          "--xla_cpu_collective_call_warn_stuck_timeout_seconds=600 "
+          "--xla_cpu_collective_call_terminate_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = (
+    _FLAGS + " " + os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
+    else os.environ["XLA_FLAGS"]
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
